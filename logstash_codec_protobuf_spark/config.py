@@ -1,0 +1,39 @@
+"""Pipeline configuration.
+
+Mirrors the reference codec's 8 config knobs
+(/root/reference/lib/logstash/codecs/protobuf.rb:87-154) re-expressed for a
+columnar engine:
+
+- ``class_name``        -> ``message``: which registered message spec parses `text`
+- ``protobuf_version``  -> ``proto_version``: 2 => enums stay ints, strict encode
+                           errors (protobuf.rb:633-643); 3 => enums symbolize to
+                           names, lenient encode with dead-letter (protobuf.rb:376-402)
+- ``stop_on_error``     -> same: raise on first parse failure instead of routing to
+                           the dead-letter sink (protobuf.rb:139-140,227-228,429-431)
+- ``pb3_set_oneof_metainfo`` -> ``set_oneof_metainfo``: expose chosen-oneof-option
+                           names in a `_meta` struct column (protobuf.rb:145-154,221-223)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+DEAD_LETTER_TAG = "_protobufdecodefailure"  # protobuf.rb:231
+TYPECONVERSION_TAG = "_protobuf_type_converted"  # protobuf.rb:168
+DEAD_LETTER_SINK = "dead_letter"
+
+
+@dataclass(frozen=True)
+class CodecConfig:
+    message: str = "turn_payload"
+    proto_version: int = 3
+    stop_on_error: bool = False
+    set_oneof_metainfo: bool = True
+    # explicit shuffle sizing for the routing fan-out (north_rule: explicit
+    # repartition before the routing shuffle; sized for the target SF)
+    route_partitions: int | None = None
+    # salting for hot-conversation skew (north_rule)
+    salt_buckets: int = 8
+    sinks: tuple[str, ...] = field(
+        default=("sink_a", "sink_b", "sink_c", "sink_d", DEAD_LETTER_SINK)
+    )

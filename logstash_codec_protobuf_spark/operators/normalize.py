@@ -1,0 +1,117 @@
+"""Normalization operators: enum symbolization, oneof XOR, proto3 defaults,
+@-key renames, Struct-as-JSON decode, tag manipulation.
+
+Everything here is pure Column expressions — JVM-side, whole-stage-codegen'd,
+no shuffle (all 1:1 row transforms). At 100 TB these fuse into the scan/parse
+stage for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from ..schema import SchemaRegistry, default_registry
+
+
+def enum_map_col(registry: SchemaRegistry, enum_name: str) -> Column:
+    """Enum dictionary as a literal map — Catalyst constant-folds the lookup.
+
+    The columnar analog of the symbol branch of pb3_to_hash
+    (protobuf.rb:330-331): codes become NAMES ("PINK"). For large enums a
+    broadcast-join against sources.dims.enums_df is the scale path; for the
+    reference's <10-value enums a folded literal map is strictly cheaper.
+    """
+    enum = registry.enums[enum_name]
+    pairs: list[Column] = []
+    for code, name in sorted(enum.values.items()):
+        pairs.append(F.lit(code))
+        pairs.append(F.lit(name))
+    return F.create_map(*pairs)
+
+
+def symbolize_enum(
+    code: Column,
+    enum_name: str,
+    registry: SchemaRegistry | None = None,
+    proto_version: int = 3,
+) -> Column:
+    """pb3: int code -> name string; pb2: passthrough ints
+    (spec/codecs/pb2_spec.rb:96-99, config note protobuf.rb:134-136)."""
+    if proto_version == 2:
+        return code
+    registry = registry or default_registry()
+    return F.element_at(enum_map_col(registry, enum_name), code)
+
+
+def apply_proto3_defaults(
+    named: Column, enum_name: str, registry: SchemaRegistry | None = None
+) -> Column:
+    """proto3 default emission (protobuf.rb:297): unset/unknown -> code-0 name.
+
+    Fixtures depend on defaults surviving decode (father.fur_colour -> "SILVER",
+    spec/codecs/pb3_decode_spec.rb:122-132)."""
+    registry = registry or default_registry()
+    return F.coalesce(named, F.lit(registry.enums[enum_name].default_name))
+
+
+def oneof_clean(
+    df: DataFrame,
+    discriminator: str,
+    options: dict[str, str],
+    meta_col: str | None = "_meta",
+    group: str = "body",
+) -> DataFrame:
+    """XOR-enforce a oneof group (protobuf.rb:344-373): null out every option
+    whose name the discriminator didn't choose, optionally exposing the choice
+    in a metadata struct ([@metadata][pb_oneof], protobuf.rb:221-223).
+
+    ``options`` maps option-name -> column name. The discriminator records
+    SET-ness, not value: a chosen option keeps its value even when it equals the
+    proto3 default (top_accommodation_id=0 case, pb3_decode_spec.rb:519-546) —
+    which is exactly why the discriminator is parsed from the wire, never
+    inferred by comparing values.
+    """
+    out = df
+    disc = F.col(discriminator)
+    for option_name, col_name in options.items():
+        out = out.withColumn(
+            col_name, F.when(disc == option_name, F.col(col_name))
+        )
+    if meta_col:
+        out = out.withColumn(
+            meta_col, F.struct(F.struct(disc.alias(group)).alias("pb_oneof"))
+        )
+    return out
+
+
+def strip_at_keys(df: DataFrame) -> DataFrame:
+    """`@timestamp` -> `timestamp` key rename (protobuf.rb:623,651;
+    round-trip fixture spec/codecs/pb2_spec.rb:144,161)."""
+    for name in df.columns:
+        if name.startswith("@"):
+            df = df.withColumnRenamed(name, name.lstrip("@"))
+    return df
+
+
+def decode_json_struct(col: Column, value_type: str = "string") -> Column:
+    """google.protobuf.Struct (free-form JSON) -> map column
+    (protobuf.rb:290-294; spec/codecs/pb3_decode_spec.rb:454-466)."""
+    return F.from_json(col, T.MapType(T.StringType(), {
+        "string": T.StringType(), "int": T.IntegerType(), "bigint": T.LongType(),
+        "double": T.DoubleType()}[value_type]))
+
+
+def add_tag(tags: Column, tag: str) -> Column:
+    """Append tag, creating the array if absent (pb3_add_tag,
+    protobuf.rb:559-566)."""
+    return F.array_union(
+        F.coalesce(tags, F.array().cast("array<string>")), F.array(F.lit(tag))
+    )
+
+
+def remove_tag(tags: Column, tag: str) -> Column:
+    """Remove a tag; empty array -> null, mirroring tag-key deletion
+    (pb3_remove_typeconversion_tag, protobuf.rb:506-514)."""
+    cleaned = F.array_remove(F.coalesce(tags, F.array().cast("array<string>")),
+                             tag)
+    return F.when(F.size(cleaned) > 0, cleaned)

@@ -1,0 +1,102 @@
+"""Tag-based fan-out routing to per-sink tables.
+
+The codec's "fan-out" is its error branch: good events yield to the pipeline,
+failures become substitute events tagged `_protobufdecodefailure`
+(protobuf.rb:224,229-233). The engine generalizes this to N sinks driven by the
+`tools.sink` dictionary column, with the dead-letter sink as one more route.
+
+Scale design (north_rule): the routed write is the job's one big shuffle, so it
+is made EXPLICIT — ``repartition(route_partitions, "sink", salt)`` right before
+the write. The salt spreads each sink's rows over many tasks (a sink is a
+low-cardinality hot key by construction; without the salt all of sink_b lands in
+one task at 100 TB). `partitionBy("sink")` on the writer then lays files out per
+sink directory. A single ``persist`` lets good/dead flows share the parse stage
+instead of re-reading the source per sink (single-pass multi-sink fan-out,
+SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..config import CodecConfig, DEAD_LETTER_SINK
+
+
+def assign_sink(df: DataFrame, cfg: CodecConfig | None = None) -> DataFrame:
+    """Resolve each row's destination sink: dictionary sink for enriched rows,
+    dead_letter for unmatched tools (keep-don't-drop, protobuf.rb:229-233)."""
+    return df.withColumn("sink", F.coalesce(F.col("sink"), F.lit(DEAD_LETTER_SINK)))
+
+
+def route_counts(good: DataFrame, dead: DataFrame) -> DataFrame:
+    """Per-sink routed-row counts — the correctness invariant the north star
+    pins against the reference fixtures. Partial aggregation (map-side combine)
+    makes this a tiny shuffle regardless of input size."""
+    g = good.groupBy("sink").agg(F.count(F.lit(1)).alias("n_rows"))
+    d = dead.select(F.lit(DEAD_LETTER_SINK).alias("sink")).groupBy("sink").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    return g.unionByName(d).groupBy("sink").agg(F.sum("n_rows").alias("n_rows"))
+
+
+def fan_out(
+    df: DataFrame,
+    base_path: str,
+    cfg: CodecConfig | None = None,
+    mode: str = "append",
+) -> None:
+    """Write rows to per-sink parquet directories in ONE pass.
+
+    At cluster scale the writer targets per-sink Iceberg tables
+    (``writeTo(...).append()``); parquet-partitionBy has the same layout and
+    identical shuffle behavior in the sandbox.
+    """
+    cfg = cfg or CodecConfig()
+    n = cfg.route_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    salt = (F.crc32(F.col("conv_id").cast("string")) % cfg.salt_buckets)
+    routed = (
+        df.withColumn("_salt", salt)
+        .repartition(int(n), F.col("sink"), F.col("_salt"))
+        .drop("_salt")
+    )
+    routed.write.mode(mode).partitionBy("sink").parquet(base_path)
+
+
+def fan_out_single_pass(
+    good: DataFrame,
+    dead: DataFrame,
+    base_path: str,
+    cfg: CodecConfig | None = None,
+) -> dict[str, int]:
+    """Route good + dead-letter flows to sink directories sharing one parse.
+
+    Returns per-sink written-row counts (read back from the sink layout, so the
+    numbers reflect what durably landed — the checkpoint manifest stores them).
+    """
+    cfg = cfg or CodecConfig()
+    spark = good.sparkSession
+    good = good.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        dead_routed = dead.select(
+            F.col("conv_id"), F.col("turn_idx"), F.col("ts"),
+            F.col("message").alias("text"),
+            F.col("decoder_exception"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(DEAD_LETTER_SINK).alias("sink"),
+        )
+        good_routed = good.select(
+            F.col("conv_id"), F.col("turn_idx"), F.col("ts"), F.col("text"),
+            F.lit(None).cast("string").alias("decoder_exception"),
+            F.col("tool"), F.col("sink"),
+        )
+        fan_out(good_routed.unionByName(dead_routed), base_path, cfg)
+        written = (
+            spark.read.parquet(base_path)
+            .groupBy("sink").count().collect()
+        )
+        return {r["sink"]: r["count"] for r in written}
+    finally:
+        good.unpersist()

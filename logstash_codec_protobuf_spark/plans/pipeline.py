@@ -1,0 +1,130 @@
+"""The end-to-end job: parse -> enrich -> route -> aggregate, checkpointed.
+
+One logical plan per lineage wave; Catalyst fuses scan+parse+enrich (broadcast
+joins are shuffle-free) into a single stage, so the only exchanges are the
+explicit pre-route repartition and the aggregate shuffles — exactly the two the
+north star budgets for.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import CodecConfig, DEAD_LETTER_SINK
+from ..operators import aggregate as agg
+from ..operators.enrich import enrich
+from ..operators.parse import parse_turns, split_dead_letter
+from ..operators.route import assign_sink, fan_out
+from ..sources.transcripts import transcripts_df
+from .checkpoint import CheckpointManifest
+
+
+def run_parse_stage(
+    spark: SparkSession, sf_dir: str, cfg: CodecConfig | None = None,
+    impl: str = "native",
+) -> tuple[DataFrame, DataFrame]:
+    """parse + dead-letter split, honoring stop_on_error
+    (protobuf.rb:139-140,227-228)."""
+    cfg = cfg or CodecConfig()
+    tr = transcripts_df(spark, sf_dir)
+    good, dead = split_dead_letter(parse_turns(tr, cfg, impl=impl), cfg)
+    if cfg.stop_on_error:
+        first = dead.select("decoder_exception", "message").take(1)
+        if first:
+            raise ValueError(
+                f"decode failed (stop_on_error): {first[0]['decoder_exception']}"
+                f" on payload {first[0]['message']!r}"
+            )
+    return good, dead
+
+
+def _routed_wave(spark: SparkSession, sf_dir: str, cfg: CodecConfig,
+                 n_buckets: int, impl: str) -> DataFrame:
+    """Full-row routed frame with lineage bucket column (no action yet)."""
+    good, dead = run_parse_stage(spark, sf_dir, cfg, impl=impl)
+    good = assign_sink(enrich(good, spark, tag_unknown=False))
+    g = good.select(
+        "conv_id", "turn_idx", "ts", "text", "tool", "sink",
+        F.col("parsed")["cents"].alias("cents"),
+        F.lit(None).cast("string").alias("decoder_exception"),
+    )
+    d = dead.select(
+        "conv_id", "turn_idx", "ts",
+        F.col("message").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(DEAD_LETTER_SINK).alias("sink"),
+        F.lit(None).cast("long").alias("cents"),
+        "decoder_exception",
+    )
+    routed = g.unionByName(d)
+    return routed.withColumn(
+        "_bucket", F.pmod(F.crc32(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    cfg: CodecConfig | None = None,
+    n_buckets: int = 8,
+    wave_size: int = 4,
+    impl: str = "native",
+    fail_after_waves: int | None = None,
+) -> dict:
+    """Checkpointed parse→enrich→route job + final aggregates.
+
+    Buckets are processed in waves; each wave is one Spark action whose sink
+    writes land under `_bucket=<b>/sink=<s>/` before the bucket's manifest entry
+    commits. A killed run (simulated by ``fail_after_waves``) resumes by
+    pruning completed buckets from the scan — completed data is never re-parsed
+    or re-written.
+    """
+    cfg = cfg or CodecConfig()
+    data_dir = f"{out_dir}/routed"
+    manifest = CheckpointManifest(f"{out_dir}/manifest")
+    done = manifest.completed()
+    todo = [b for b in range(n_buckets) if b not in done]
+    for b in todo:
+        manifest.clear_partial_output(data_dir, b)
+
+    routed_all = _routed_wave(spark, sf_dir, cfg, n_buckets, impl)
+    waves = [todo[i:i + wave_size] for i in range(0, len(todo), wave_size)]
+    for wi, wave in enumerate(waves):
+        if fail_after_waves is not None and wi >= fail_after_waves:
+            raise RuntimeError("simulated kill")
+        t0 = time.time()
+        wave_df = routed_all.filter(F.col("_bucket").isin(wave))
+        n = int(cfg.route_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+        (
+            wave_df.repartition(n, F.col("_bucket"), F.col("sink"), F.col("conv_id"))
+            .write.mode("append").partitionBy("_bucket", "sink").parquet(data_dir)
+        )
+        # per-bucket metrics from what landed (durable truth, not plan-side counts)
+        landed = (
+            spark.read.parquet(data_dir)
+            .filter(F.col("_bucket").isin(wave))
+            .groupBy("_bucket", "sink").count().collect()
+        )
+        dt = time.time() - t0
+        for b in wave:
+            sinks = {r["sink"]: r["count"] for r in landed if r["_bucket"] == b}
+            manifest.complete(b, {
+                "sinks": sinks,
+                "rows": int(sum(sinks.values())),
+                "wave_wall_sec": dt,
+            })
+
+    # final aggregates over the routed store (reads back only needed columns)
+    routed = spark.read.parquet(data_dir)
+    good = routed.filter(F.col("sink") != DEAD_LETTER_SINK)
+    agg.conv_stats_salted(good, cfg).write.mode("overwrite").parquet(
+        f"{out_dir}/conv_stats"
+    )
+    agg.hourly_stats(good).write.mode("overwrite").parquet(f"{out_dir}/hourly_stats")
+
+    metrics = manifest.completed()
+    total = sum(m["rows"] for m in metrics.values())
+    return {"buckets": len(metrics), "rows": total, "out_dir": out_dir}

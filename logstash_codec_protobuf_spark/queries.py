@@ -1,0 +1,411 @@
+"""Query registry: every implemented operator as a (Spark callable, oracle SQL) pair.
+
+This is the engine's public query surface AND its correctness gate: the driver
+runs each Spark callable at sf=0.01 side-by-side with the DuckDB oracle SQL and
+compares row counts, schemas, and order-insensitive value hashes. Column names
+and types are deliberately aligned on both sides.
+
+The transcripts input is derived deterministically from the driver's `events`
+parquet with ONE SQL text shared verbatim by both engines
+(sources.transcripts.TRANSCRIPTS_CTE), so oracles are exact by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .config import CodecConfig
+from .operators import aggregate as agg
+from .operators import encode as enc
+from .operators.enrich import enrich
+from .operators.normalize import oneof_clean, symbolize_enum
+from .operators.parse import parse_turns, split_dead_letter
+from .operators.route import assign_sink, route_counts
+from .sources.dims import ENUMS_SQL, ROLES_SQL, TOOLS_SQL
+from .sources.tables import load_table
+from .sources.transcripts import TRANSCRIPTS_CTE, transcripts_df
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _oracle(body: str) -> str:
+    """Full DuckDB SQL: transcripts derivation + dims + query body."""
+    return (
+        f"WITH {TRANSCRIPTS_CTE},\n"
+        f"roles AS {ROLES_SQL},\n"
+        f"tools AS {TOOLS_SQL},\n"
+        f"enums AS {ENUMS_SQL}\n"
+        f"{body}"
+    )
+
+
+def _good_parsed(spark: SparkSession, sf_dir: str, impl: str = "native") -> DataFrame:
+    tr = transcripts_df(spark, sf_dir)
+    good, _ = split_dead_letter(parse_turns(tr, impl=impl))
+    return good
+
+
+def _good_flat(spark: SparkSession, sf_dir: str, impl: str = "native") -> DataFrame:
+    good = _good_parsed(spark, sf_dir, impl)
+    p = F.col("parsed")
+    return good.select(
+        p["conv_id"].alias("conv_id"),
+        p["turn_idx"].alias("turn_idx"),
+        p["role"].alias("role"),
+        p["tool"].alias("tool"),
+        p["colour"].alias("colour"),
+        p["cents"].alias("cents"),
+        p["body_type"].alias("body_type"),
+        p["horn"].alias("horn"),
+        p["wings"].alias("wings"),
+        p["msg"].alias("msg"),
+        F.col("ts"),
+        F.col("text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# decode path (protobuf.rb:212-234) — the flagship vectorized parse
+# --------------------------------------------------------------------------
+
+@query(
+    "parse_good",
+    _oracle(
+        """
+SELECT 'conv-' || conv_key AS conv_id, turn_idx, role, tool, colour, cents,
+       oneof_kind AS body_type, horn, wings,
+       'm' || CAST(event_id AS STRING) AS msg
+FROM _tr_num WHERE event_id % 37 <> 0
+"""
+    ),
+)
+def parse_good(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batch parse of `text` -> typed columns (decode round-trip oracle:
+    parsed values must equal the generator's pre-serialization fields)."""
+    return _good_flat(spark, sf_dir, impl="arrow").drop("ts", "text")
+
+
+@query(
+    "dead_letter",
+    _oracle(
+        """
+SELECT 'conv-' || conv_key AS conv_id, turn_idx,
+       'CORRUPT|' || CAST(event_id AS STRING) AS message,
+       '_protobufdecodefailure' AS tags_csv,
+       'payload does not match PB3 wire format' AS decoder_exception
+FROM _tr_num WHERE event_id % 37 = 0
+"""
+    ),
+)
+def dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed payloads -> substitute rows, original preserved
+    (protobuf.rb:229-233; the reference never tests this — we do)."""
+    tr = transcripts_df(spark, sf_dir)
+    _, dead = split_dead_letter(parse_turns(tr, impl="arrow"))
+    return dead.select(
+        "conv_id", "turn_idx", "message",
+        F.array_join("tags", ",").alias("tags_csv"),
+        "decoder_exception",
+    )
+
+
+@query(
+    "enum_symbolize",
+    _oracle(
+        """
+SELECT e.name AS colour_name, CAST(count(*) AS BIGINT) AS n
+FROM _tr_num t JOIN enums e
+  ON e.enum_class = 'Colour' AND e.code = t.colour
+WHERE t.event_id % 37 <> 0
+GROUP BY e.name
+"""
+    ),
+)
+def enum_symbolize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pb3 enum codes -> names ("PINK"), constant-folded map lookup
+    (protobuf.rb:330-331)."""
+    flat = _good_flat(spark, sf_dir)
+    return (
+        flat.withColumn("colour_name", symbolize_enum(F.col("colour"), "Colour"))
+        .groupBy("colour_name").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "pb2_enum_passthrough",
+    _oracle(
+        """
+SELECT colour, CAST(count(*) AS BIGINT) AS n
+FROM _tr_num WHERE event_id % 37 <> 0 GROUP BY colour
+"""
+    ),
+)
+def pb2_enum_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pb2 dialect: enums stay ints (spec/codecs/pb2_spec.rb:96-99)."""
+    flat = _good_flat(spark, sf_dir)
+    return (
+        flat.withColumn("colour", symbolize_enum(F.col("colour"), "Colour",
+                                                 proto_version=2))
+        .groupBy("colour").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "oneof_xor",
+    _oracle(
+        """
+SELECT 'conv-' || conv_key AS conv_id, turn_idx,
+       oneof_kind AS body_type,
+       CASE WHEN oneof_kind = 'unicorn' THEN horn END AS horn,
+       CASE WHEN oneof_kind = 'pegasus' THEN wings END AS wings,
+       oneof_kind AS chosen_option
+FROM _tr_num WHERE event_id % 37 <> 0
+"""
+    ),
+)
+def oneof_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oneof XOR enforcement + metainfo (protobuf.rb:344-373,221-223):
+    non-chosen options nulled, discriminator exposed as metadata."""
+    flat = _good_flat(spark, sf_dir)
+    cleaned = oneof_clean(
+        flat, discriminator="body_type",
+        options={"unicorn": "horn", "pegasus": "wings"},
+    )
+    return cleaned.select(
+        "conv_id", "turn_idx", "body_type", "horn", "wings",
+        F.col("_meta")["pb_oneof"]["body"].alias("chosen_option"),
+    )
+
+
+# --------------------------------------------------------------------------
+# enrich (broadcast dictionary joins, generalizing protobuf.rb:654-657)
+# --------------------------------------------------------------------------
+
+@query(
+    "enrich_turns",
+    _oracle(
+        """
+SELECT 'conv-' || conv_key AS conv_id, turn_idx, t.role, r.role_group,
+       r.is_agent, t.tool, tl.tool_family, tl.sink
+FROM _tr_num t
+LEFT JOIN roles r ON r.role = t.role
+LEFT JOIN tools tl ON tl.tool = t.tool
+WHERE t.event_id % 37 <> 0
+"""
+    ),
+)
+def enrich_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = _good_flat(spark, sf_dir)
+    return enrich(flat, spark, tag_unknown=False).select(
+        "conv_id", "turn_idx", "role", "role_group", "is_agent",
+        "tool", "tool_family", "sink",
+    )
+
+
+# --------------------------------------------------------------------------
+# route (tag-based fan-out, protobuf.rb:224,229-233)
+# --------------------------------------------------------------------------
+
+@query(
+    "route_counts",
+    _oracle(
+        """
+SELECT sink, CAST(count(*) AS BIGINT) AS n_rows FROM (
+    SELECT CASE WHEN t.event_id % 37 = 0 THEN 'dead_letter'
+                ELSE coalesce(tl.sink, 'dead_letter') END AS sink
+    FROM _tr_num t LEFT JOIN tools tl ON tl.tool = t.tool
+) GROUP BY sink
+"""
+    ),
+)
+def route_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sink routed-row counts — the north star's headline invariant."""
+    tr = transcripts_df(spark, sf_dir)
+    good, dead = split_dead_letter(parse_turns(tr, impl="native"))
+    good = assign_sink(enrich(good, spark, tag_unknown=False))
+    return route_counts(good, dead)
+
+
+# --------------------------------------------------------------------------
+# aggregates (north-star additions; SURVEY.md §2.7)
+# --------------------------------------------------------------------------
+
+@query(
+    "conv_stats",
+    _oracle(
+        """
+SELECT 'conv-' || conv_key AS conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       max(turn_idx) AS max_turn,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM _tr_num WHERE event_id % 37 <> 0 GROUP BY conv_key
+"""
+    ),
+)
+def conv_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase per-conversation aggregate (hot-conv skew defusal);
+    result-identical to plain groupBy."""
+    return agg.conv_stats_salted(_good_flat(spark, sf_dir))
+
+
+@query(
+    "hourly_stats",
+    _oracle(
+        """
+SELECT CAST(date_trunc('hour', t.ts) AS STRING) AS hour,
+       coalesce(tl.sink, 'dead_letter') AS sink,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM _tr_num t LEFT JOIN tools tl ON tl.tool = t.tool
+WHERE t.event_id % 37 <> 0
+GROUP BY 1, 2
+"""
+    ),
+)
+def hourly_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour windowed aggregate per sink (batch twin of the streaming
+    window)."""
+    flat = _good_flat(spark, sf_dir)
+    enriched = assign_sink(enrich(flat, spark, tag_unknown=False))
+    return agg.hourly_stats(enriched).withColumn(
+        "hour", F.col("hour").cast("string")
+    )
+
+
+@query(
+    "turn_order",
+    _oracle(
+        """
+SELECT conv_id, turn_idx, text,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+            AS INTEGER) AS turn_rank
+FROM transcripts
+"""
+    ),
+)
+def turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable turn ordering + per-turn text equality (input_hint invariant)."""
+    return agg.turn_order_check(transcripts_df(spark, sf_dir))
+
+
+@query(
+    "conv_first_last",
+    _oracle(
+        """
+SELECT conv_id,
+       min_by(text, turn_idx) AS first_text,
+       max_by(text, turn_idx) AS last_text,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM transcripts GROUP BY conv_id
+"""
+    ),
+)
+def conv_first_last_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.conv_first_last(transcripts_df(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# encode path (protobuf.rb:237-246, 571-613)
+# --------------------------------------------------------------------------
+
+@query(
+    "encode_roundtrip",
+    _oracle(
+        """
+SELECT 'conv-' || conv_key AS conv_id, turn_idx,
+       'PB3|conv=conv-' || conv_key
+       || '|turn=' || CAST(turn_idx AS STRING)
+       || '|role=' || role || '|tool=' || tool
+       || '|colour=' || CAST(colour AS STRING)
+       || '|cents=' || CAST(cents AS STRING)
+       || '|oneof=' || oneof_kind
+       || '|horn=' || CAST(horn AS STRING)
+       || '|wings=' || CAST(wings AS STRING)
+       || '|msg=m' || CAST(event_id AS STRING) AS payload
+FROM _tr_num WHERE event_id % 37 <> 0
+"""
+    ),
+)
+def encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode -> encode must reproduce the original wire payload byte-for-byte
+    (the reference's round-trip oracle pattern, spec/codecs/pb3_encode_spec.rb:25-41)."""
+    good = _good_parsed(spark, sf_dir, impl="native")
+    out = enc.suppress_empty(enc.serialize_turns(good))
+    p = F.col("parsed")
+    return out.select(
+        p["conv_id"].alias("conv_id"), p["turn_idx"].alias("turn_idx"), "payload"
+    )
+
+
+@query(
+    "encode_autoconvert",
+    _oracle(
+        """
+SELECT 'conv-' || conv_key AS conv_id, turn_idx,
+       CAST(CAST(cents AS STRING) AS DOUBLE) AS str_to_float,
+       CASE WHEN floor(cents / 100.0) = cents / 100.0
+            THEN CAST(cents / 100.0 AS BIGINT) END AS float_to_int,
+       CAST(horn AS STRING) AS int_to_string,
+       (CASE WHEN event_id % 2 = 0 THEN 'TRUE' ELSE 'false' END ILIKE 'true')
+           AS str_to_bool
+FROM _tr_num WHERE event_id % 37 <> 0
+"""
+    ),
+)
+def encode_autoconvert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The type-autoconversion matrix (protobuf.rb:571-613; fixtures
+    spec/codecs/pb3_encode_spec.rb:124-173) as declarative casts:
+    string->float, lossless float->int, int->string, string->bool."""
+    flat = _good_flat(spark, sf_dir)
+    bool_src = F.when(F.col("body_type") == "unicorn", F.lit("TRUE")).otherwise(
+        F.lit("false")
+    )
+    return flat.select(
+        "conv_id", "turn_idx",
+        enc.coerce(F.col("cents").cast("string"), "float").alias("str_to_float"),
+        enc.coerce(F.col("cents") / 100.0, "int").alias("float_to_int"),
+        enc.coerce(F.col("horn"), "string").alias("int_to_string"),
+        enc.coerce(bool_src, "bool").alias("str_to_bool"),
+    )
+
+
+# --------------------------------------------------------------------------
+# google.protobuf.Struct / JSON decode (protobuf.rb:290-294)
+# --------------------------------------------------------------------------
+
+@query(
+    "json_struct_decode",
+    """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+""",
+)
+def json_struct_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-form JSON payload -> typed map column (the Struct branch of
+    pb3_to_hash)."""
+    ev = load_table(spark, sf_dir, "events")
+    from .operators.normalize import decode_json_struct
+
+    m = decode_json_struct(F.col("props"), value_type="bigint")
+    return ev.select("event_id", F.element_at(m, "k").alias("k_value"))
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLES)

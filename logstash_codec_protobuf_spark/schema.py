@@ -1,0 +1,273 @@
+"""Schema registry: message specs -> Spark StructType + field dictionaries.
+
+Re-expresses the reference codec's driver-side schema machinery:
+
+- ``register()`` / ``load_protobuf_definition`` (protobuf.rb:164-199,781-802):
+  load + validate schema definitions once, idempotently, before any data flows.
+- ``pb3_metadata_analyis`` / ``pb2_metadata_analyis`` (protobuf.rb:690-778): build
+  field -> nested-message-class and field -> enum-class dictionaries. Here those
+  dictionaries are plain dicts built from declarative specs and shipped to executors
+  as broadcast variables / folded into Column expressions — no executor-side
+  registration, no mutex (the reference needs one because its descriptor pool is
+  JVM-global and mutable, protobuf.rb:9-24,188; ours is immutable).
+- proto3 default emission (protobuf.rb:297 + spec/codecs/pb3_decode_spec.rb:132):
+  every field carries its proto3 default so parse can coalesce unset -> default.
+- recursive message types (spec/helpers/pb2/human.pb.rb:16-17): Spark types are
+  non-recursive, so ``to_struct_type`` unrolls self-references to a fixed depth
+  (fixtures need <= 3 generations, spec/codecs/pb2_spec.rb:43-77).
+
+All of this is driver-side pure Python: cheap, unit-testable without Spark, and
+constant at 100 TB scale (schemas don't grow with data).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Optional
+
+from pyspark.sql import types as T
+
+_SCALAR_TYPES = {
+    "string": T.StringType(),
+    "bytes": T.BinaryType(),
+    "int32": T.IntegerType(),
+    "uint32": T.LongType(),
+    "int64": T.LongType(),
+    "uint64": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "bool": T.BooleanType(),
+}
+
+# proto3 scalar defaults (emitted for unset fields — protobuf.rb:297;
+# spec/codecs/pb3_decode_spec.rb:132,433-435)
+_SCALAR_DEFAULTS = {
+    "string": "",
+    "bytes": b"",
+    "int32": 0,
+    "uint32": 0,
+    "int64": 0,
+    "uint64": 0,
+    "float": 0.0,
+    "double": 0.0,
+    "bool": False,
+}
+
+
+@dataclass(frozen=True)
+class EnumSpec:
+    """An enum dictionary: code <-> name.
+
+    pb3 decodes enums to NAMES (protobuf.rb:330-331); pb2 leaves them as ints
+    (spec/codecs/pb2_spec.rb:96-99).
+    """
+
+    name: str
+    values: dict[int, str]
+
+    def name_of(self, code: int) -> Optional[str]:
+        return self.values.get(code)
+
+    def code_of(self, name: str) -> Optional[int]:
+        for c, n in self.values.items():
+            if n == name:
+                return c
+        return None
+
+    @property
+    def default_name(self) -> str:
+        # proto3 default enum value is code 0
+        return self.values.get(0, "")
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    name: str
+    type: str  # scalar name, "enum:<EnumName>", "message:<MessageName>", "map<k,v>"
+    repeated: bool = False
+    oneof: Optional[str] = None  # oneof group name, if member of one
+
+
+@dataclass(frozen=True)
+class MessageSpec:
+    name: str
+    fields: tuple[FieldSpec, ...]
+
+    def oneof_groups(self) -> dict[str, list[str]]:
+        groups: dict[str, list[str]] = {}
+        for f in self.fields:
+            if f.oneof:
+                groups.setdefault(f.oneof, []).append(f.name)
+        return groups
+
+
+class SchemaRegistryError(ValueError):
+    pass
+
+
+class SchemaRegistry:
+    """Immutable-after-build registry of message + enum specs.
+
+    The reference guards a global mutable pool with a mutex and refuses pipeline
+    reload (protobuf.rb:9-24,201-210). We instead build everything on the driver
+    before job fan-out; ``register`` is idempotent like ``should_register``
+    (protobuf.rb:178): re-registering an identical spec is a no-op, a conflicting
+    one raises.
+    """
+
+    def __init__(self) -> None:
+        self.messages: dict[str, MessageSpec] = {}
+        self.enums: dict[str, EnumSpec] = {}
+
+    # -- registration (mirrors register(), protobuf.rb:164-199) ---------------
+
+    def register_enum(self, spec: EnumSpec) -> None:
+        prev = self.enums.get(spec.name)
+        if prev is not None:
+            if prev != spec:
+                raise SchemaRegistryError(f"conflicting enum registration: {spec.name}")
+            return
+        self.enums[spec.name] = spec
+
+    def register_message(self, spec: MessageSpec) -> None:
+        prev = self.messages.get(spec.name)
+        if prev is not None:
+            if prev != spec:
+                raise SchemaRegistryError(
+                    f"conflicting message registration: {spec.name}"
+                )
+            return
+        self.messages[spec.name] = spec
+
+    def validate(self, root: str) -> None:
+        """Fail-fast config validation (mirrors protobuf.rb:170-176 + the
+        missing-class error of load_protobuf_definition, protobuf.rb:781-802)."""
+        if root not in self.messages:
+            raise SchemaRegistryError(f"message class not registered: {root}")
+        for m in self.messages.values():
+            for f in m.fields:
+                if f.type.startswith("enum:") and f.type[5:] not in self.enums:
+                    raise SchemaRegistryError(f"unknown enum {f.type} in {m.name}")
+                if f.type.startswith("message:") and f.type[8:] not in self.messages:
+                    raise SchemaRegistryError(f"unknown message {f.type} in {m.name}")
+
+    # -- field dictionaries (mirrors pb3_metadata_analyis, protobuf.rb:690-720)
+
+    def message_field_dict(self) -> dict[str, str]:
+        """field-path -> nested message class (== @metainfo_messageclasses)."""
+        out: dict[str, str] = {}
+        for m in self.messages.values():
+            for f in m.fields:
+                if f.type.startswith("message:"):
+                    out[f"{m.name}.{f.name}"] = f.type[8:]
+        return out
+
+    def enum_field_dict(self) -> dict[str, str]:
+        """field-path -> enum class (== @metainfo_enumclasses)."""
+        out: dict[str, str] = {}
+        for m in self.messages.values():
+            for f in m.fields:
+                if f.type.startswith("enum:"):
+                    out[f"{m.name}.{f.name}"] = f.type[5:]
+        return out
+
+    def enum_rows(self) -> list[tuple[str, int, str]]:
+        """(enum_class, code, name) rows — the broadcast enum dictionary table."""
+        return [
+            (e.name, code, name)
+            for e in self.enums.values()
+            for code, name in sorted(e.values.items())
+        ]
+
+    # -- StructType construction ----------------------------------------------
+
+    def spark_type(self, type_name: str, depth: int = 3) -> T.DataType:
+        if type_name in _SCALAR_TYPES:
+            return _SCALAR_TYPES[type_name]
+        if type_name.startswith("enum:"):
+            # pb3 semantics: enum columns are strings (names). pb2 callers use
+            # IntegerType directly.
+            return T.StringType()
+        if type_name.startswith("message:"):
+            return self.to_struct_type(type_name[8:], depth=depth)
+        if type_name.startswith("map<"):
+            k, v = type_name[4:-1].split(",", 1)
+            return T.MapType(self.spark_type(k.strip()), self.spark_type(v.strip()))
+        raise SchemaRegistryError(f"unknown type: {type_name}")
+
+    def to_struct_type(self, message: str, depth: int = 3) -> T.StructType:
+        """Unroll a (possibly recursive) message to a StructType of fixed depth."""
+        spec = self.messages[message]
+        fields = []
+        for f in spec.fields:
+            if f.type.startswith("message:") and depth <= 0:
+                continue  # recursion bound reached: drop deeper nesting
+            dt = self.spark_type(
+                f.type, depth=depth - 1 if f.type.startswith("message:") else depth
+            )
+            if f.repeated:
+                dt = T.ArrayType(dt)
+            fields.append(T.StructField(f.name, dt, nullable=True))
+        return T.StructType(fields)
+
+    def proto3_default(self, type_name: str):
+        if type_name in _SCALAR_DEFAULTS:
+            return _SCALAR_DEFAULTS[type_name]
+        if type_name.startswith("enum:"):
+            return self.enums[type_name[5:]].default_name
+        return None  # messages/maps/repeated default to unset
+
+
+def default_registry() -> SchemaRegistry:
+    """The engine's built-in specs, taken from the reference fixtures.
+
+    Colour enum values verbatim from spec/helpers/pb3/unicorn_pb.rb:19-27.
+    """
+    reg = SchemaRegistry()
+    reg.register_enum(
+        EnumSpec(
+            "Colour",
+            {0: "UNDEFINED", 1: "BLUE", 2: "PINK", 3: "SILVER", 4: "GLITTER",
+             5: "WHITE", 6: "GREEN"},
+        )
+    )
+    # PingIPv4Result.Status (spec/helpers/pb3/ProbeResult_pb.rb:18-21)
+    reg.register_enum(EnumSpec("Status", {0: "SUCCESS", 1: "FAILURE", 2: "TIMEOUT"}))
+    # The flagship wire message carried in transcript `text` (the reimagined
+    # codec input): scalars + enum + a 2-option oneof (FantasyHorse pattern,
+    # spec/helpers/pb3/FantasyHorse_pb.rb:8-11).
+    reg.register_message(
+        MessageSpec(
+            "turn_payload",
+            (
+                FieldSpec("conv_id", "string"),
+                FieldSpec("turn_idx", "int32"),
+                FieldSpec("role", "string"),
+                FieldSpec("tool", "string"),
+                FieldSpec("colour", "enum:Colour"),
+                FieldSpec("cents", "int64"),
+                FieldSpec("body_type", "string"),  # oneof discriminator meta
+                FieldSpec("horn", "int32", oneof="body"),
+                FieldSpec("wings", "int32", oneof="body"),
+                FieldSpec("msg", "string"),
+            ),
+        )
+    )
+    # Recursive message fixture (Human / Unicorn mother-father pattern,
+    # spec/helpers/pb2/human.pb.rb:16-17) — exercises depth-bounded unrolling.
+    reg.register_message(
+        MessageSpec(
+            "human",
+            (
+                FieldSpec("first_name", "string"),
+                FieldSpec("middle_names", "string", repeated=True),
+                FieldSpec("last_name", "string"),
+                FieldSpec("mother", "message:human"),
+                FieldSpec("father", "message:human"),
+                FieldSpec("age", "int32"),
+                FieldSpec("vegetarian", "bool"),
+            ),
+        )
+    )
+    reg.validate("turn_payload")
+    return reg
