@@ -1,0 +1,105 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio/video content rides as `binary` columns with a metadata struct;
+decode / feature-extraction runs as Arrow-batched pandas UDFs over
+``mapInPandas`` so each Python worker sees whole record batches (the only sane
+shape at 100 TB — never per-row Python).
+
+The decode step itself is STUBBED: the container has no image/audio libraries,
+so ``decode_image`` raises NotImplementedError unless PIL is importable, and
+the default feature extractor computes deterministic fake features (byte
+length, prefix checksum, derived width/height). The Spark-side plumbing —
+schema, Arrow batch iteration, partitioning — is real and tested, and the fake
+features are reproducible in SQL, giving the plumbing an exact oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..functions.portable import DUCK, MOD
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("checksum", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+try:  # real decoders, if the environment has them
+    from PIL import Image  # noqa: F401
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+
+def decode_image(payload: bytes):
+    """Real image decode — gated on an optional dependency."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL; this environment ships without image "
+            "libraries — use extract_features (deterministic stub) instead"
+        )
+    import io
+    return Image.open(io.BytesIO(payload))
+
+
+def _prefix_checksum(payload: bytes, n: int = 16) -> int:
+    acc = 0
+    for byte in payload[:n]:
+        acc = (acc * 31 + byte) % MOD
+    return acc
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Demo media table: utf-8 bytes of `text` stand in for image bytes."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+    )
+
+
+def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    Deterministic stub features: n_bytes, 16-byte prefix polynomial checksum,
+    width/height derived from both. Swap `_features_batch` for a real decoder
+    (PIL/torchvision) without touching the Spark plumbing.
+    """
+
+    def _features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            checksum = payloads.map(_prefix_checksum)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": n_bytes.astype("int64"),
+                "checksum": pd.Series(checksum, dtype="int64"),
+                "width": (64 + n_bytes % 512).astype("int32"),
+                "height": (64 + pd.Series(checksum) % 512).astype("int32"),
+            })
+
+    return media.mapInPandas(_features_batch, FEATURE_SCHEMA)
+
+
+def features_oracle() -> str:
+    """Exact SQL twin of the stub extractor (documents text is ASCII, so
+    char codes == utf-8 bytes)."""
+    d = DUCK
+    checksum = d.poly_hash_str("substring(text, 1, 16)")
+    return f"""
+SELECT doc_id, 'image/fake' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       {checksum} AS checksum,
+       CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+       CAST(64 + {checksum} % 512 AS INTEGER) AS height
+FROM documents
+"""

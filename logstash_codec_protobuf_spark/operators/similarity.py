@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``      : brute-force exact top-k — the correctness baseline.
+                         Query set × corpus cross join; per-query top-k via
+                         window rank. Fine for small query sets; the oracle is
+                         exact because both engines fold the dot product in
+                         identical index order in double precision.
+- ``lsh_topk``         : random-hyperplane LSH bucketing — the scale path.
+                         Corpus hashed once into 2^n_planes buckets; each query
+                         probes only its own bucket (plus optional hamming-1
+                         neighbors). Cost O(corpus/2^planes) per query instead
+                         of O(corpus). Hyperplanes are deterministic pseudo-
+                         random literals, so results are reproducible.
+- ``neardup_pairs``    : label-blocked embedding near-duplicate pairs
+                         (cosine >= threshold) — embedding-space dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.portable import DUCK, SPARK
+
+DIM = 64  # driver embeddings are 64-d
+
+
+def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
+    """Exact top-k neighbors (excluding self) for query vectors vec_id < n."""
+    d = SPARK
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("cv"))
+    cos = F.expr(d.cosine("qv", "cv"))
+    scored = (
+        q.join(F.broadcast(c), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.expr(SPARK.trunc6("score")).alias("score"), "rank")
+    )
+
+
+def cosine_topk_oracle(n_queries: int = 8, k: int = 5) -> str:
+    d = DUCK
+    cos = d.cosine("q.embedding", "c.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos} AS score
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {n_queries}
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS INTEGER)
+             AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, {d.trunc6("score")} AS score, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def neardup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Embedding-space near-duplicates, blocked by label (the cheap partition
+    key); exact cosine verification inside blocks."""
+    d = SPARK
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("label").alias("al"),
+                   F.col("embedding").alias("av"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("label").alias("bl"),
+                   F.col("embedding").alias("bv"))
+    cos = F.expr(d.cosine("av", "bv"))
+    return (
+        a.join(b, (F.col("al") == F.col("bl")) & (F.col("a_id") < F.col("b_id")))
+        .select("a_id", "b_id",
+                F.expr(d.trunc6(d.cosine("av", "bv"))).alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def neardup_pairs_oracle(threshold: float = 0.9) -> str:
+    d = DUCK
+    cos = d.cosine("a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id, {d.trunc6(cos)} AS score
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {d.trunc6(cos)} >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH scale path (Spark-only; validated against brute force in tests)
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(n_planes: int, dim: int = DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG over plane*dim+i)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            x = (1103515245 * (p * dim + i + 1) + 12345) % 2**31
+            row.append(((x % 2001) - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_expr(vec_col: str, n_planes: int = 6) -> str:
+    """Bucket id = sign-bit signature against fixed hyperplanes."""
+    d = SPARK
+    terms = []
+    for p, plane in enumerate(_hyperplanes(n_planes)):
+        lit = "array(" + ", ".join(f"CAST({v} AS DOUBLE)" for v in plane) + ")"
+        dot = d.dot(vec_col, lit)
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
+             n_planes: int = 4, multiprobe: bool = True) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket (+ hamming-1 buckets
+    with ``multiprobe`` — the standard recall boost: a true neighbor lying
+    just across one hyperplane is found in a flipped-bit bucket).
+
+    At 100 TB the corpus side is written bucketed-by(bucket) so each probe is
+    a partition-pruned scan; here it is a co-partitioned equi-join on bucket.
+    Per-query cost: (1 + n_planes)/2^n_planes of the corpus instead of 100%.
+    """
+    d = SPARK
+    bucket = F.expr(lsh_bucket_expr("embedding", n_planes))
+    hashed = emb.withColumn("bucket", bucket)
+    q = hashed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.col("bucket"),
+    )
+    if multiprobe:
+        probes = "array(bucket" + "".join(
+            f", bucket ^ {1 << p}" for p in range(n_planes)
+        ) + ")"
+        q = q.withColumn("bucket", F.explode(F.expr(probes)))
+    c = hashed.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("cv"), F.col("bucket"))
+    cos = F.expr(d.cosine("qv", "cv"))
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.expr(SPARK.trunc6("score")).alias("score"), "rank")
+    )

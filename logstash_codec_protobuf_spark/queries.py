@@ -403,6 +403,148 @@ def json_struct_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", F.element_at(m, "k").alias("k_value"))
 
 
+# --------------------------------------------------------------------------
+# training-data pipeline ops: text analysis / dedup / similarity / multimodal
+# --------------------------------------------------------------------------
+
+from .functions import text as TX  # noqa: E402
+from .functions.portable import DUCK, SPARK  # noqa: E402
+from .operators import dedup as DD  # noqa: E402
+from .operators import multimodal as MM  # noqa: E402
+from .operators import similarity as SIM  # noqa: E402
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "text_stats",
+    f"""
+SELECT doc_id,
+       {TX.token_count_ws(DUCK)} AS n_tokens_ws,
+       {TX.token_count_bpe(DUCK)} AS n_tokens_bpe,
+       {TX.alpha_ratio(DUCK)} AS alpha_ratio,
+       {TX.avg_token_len(DUCK)} AS avg_token_len,
+       {TX.quality_score(DUCK)} AS quality
+FROM documents
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and quality scoring."""
+    d = SPARK
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(TX.token_count_ws(d)).alias("n_tokens_ws"),
+        F.expr(TX.token_count_bpe(d)).alias("n_tokens_bpe"),
+        F.expr(TX.alpha_ratio(d)).alias("alpha_ratio"),
+        F.expr(TX.avg_token_len(d)).alias("avg_token_len"),
+        F.expr(TX.quality_score(d)).alias("quality"),
+    )
+
+
+@query(
+    "lang_id",
+    f"SELECT doc_id, lang, {TX.lang_id(DUCK)} AS pred_lang FROM documents",
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID heuristic (deterministic tie-break)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.expr(TX.lang_id(SPARK)).alias("pred_lang")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+SELECT doc_id, {TX.fingerprint(DUCK)} AS fingerprint,
+       {TX.prefix_fingerprint(DUCK)} AS prefix_fp
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable polynomial rolling-hash document fingerprints."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(TX.fingerprint(SPARK)).alias("fingerprint"),
+        F.expr(TX.prefix_fingerprint(SPARK)).alias("prefix_fp"),
+    )
+
+
+@query(
+    "dedup_exact",
+    """
+SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.dedup_exact(_docs(spark, sf_dir))
+
+
+@query("ngram_jaccard_pairs", DD.ngram_jaccard_oracle(threshold=0.5))
+def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard near-dup pairs, (lang, length-band) blocked."""
+    return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@query("minhash_bands", f"SELECT * FROM ({DD.minhash_bands_oracle()})")
+def minhash_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH bucket assignment (16 perms over char-4-gram shingles,
+    2 bands x 8 rows)."""
+    return DD.minhash_bands(_docs(spark, sf_dir))
+
+
+@query("minhash_pairs", DD.minhash_pairs_oracle())
+def minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate near-dup pairs — the O(n) scale path for fuzzy dedup."""
+    return DD.minhash_pairs(_docs(spark, sf_dir))
+
+
+@query("simhash", DD.simhash_oracle())
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints over token hashes."""
+    return DD.simhash(_docs(spark, sf_dir))
+
+
+def simhash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-distance near-dups (Spark-only: block+bit_count)."""
+    return DD.simhash_neardup_pairs(_docs(spark, sf_dir))
+
+
+_QUERIES["simhash_neardup"] = simhash_neardup_q  # rows-only check (non-SQL op)
+
+
+@query("ann_cosine_topk", SIM.cosine_topk_oracle())
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k over the embedding column."""
+    return SIM.cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@query("embedding_neardup", SIM.neardup_pairs_oracle(threshold=0.3))
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked embedding-cosine near-duplicate pairs."""
+    return SIM.neardup_pairs(load_table(spark, sf_dir, "embeddings"),
+                             threshold=0.3)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (Spark-only scale path; recall vs
+    brute force asserted in tests)."""
+    return SIM.lsh_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+_QUERIES["ann_lsh_topk"] = ann_lsh_topk  # rows-only check (approximate op)
+
+
+@query("multimodal_features", MM.features_oracle())
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary media payloads (stubbed
+    decode, real plumbing)."""
+    return MM.extract_features(MM.with_binary_payload(_docs(spark, sf_dir)))
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -18,7 +18,11 @@ def test_query_matches_oracle(spark, name):
     assert_parity(df, Q.all_oracles()[name], SF_DIR)
 
 
+# ops that are deliberately non-SQL-expressible (approximate / bit-twiddling);
+# the driver records a weaker rows-only check for these
+NO_ORACLE_OK = {"ann_lsh_topk", "simhash_neardup"}
+
+
 def test_every_query_has_oracle_or_is_flagged():
     missing = set(Q.all_queries()) - set(Q.all_oracles())
-    # non-SQL-expressible ops are allowed to omit oracles; keep the list explicit
-    assert missing <= set(), f"queries without oracle: {missing}"
+    assert missing <= NO_ORACLE_OK, f"queries without oracle: {missing}"
