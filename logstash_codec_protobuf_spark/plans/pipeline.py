@@ -16,7 +16,7 @@ from ..config import CodecConfig, DEAD_LETTER_SINK
 from ..operators import aggregate as agg
 from ..operators.enrich import enrich
 from ..operators.parse import parse_turns, split_dead_letter
-from ..operators.route import assign_sink, fan_out
+from ..operators.route import assign_sink, fan_out, route_all
 from ..sources.transcripts import transcripts_df
 from .checkpoint import CheckpointManifest
 
@@ -41,24 +41,24 @@ def run_parse_stage(
 
 
 def _routed_wave(spark: SparkSession, sf_dir: str, cfg: CodecConfig,
-                 n_buckets: int, impl: str) -> DataFrame:
+                 n_buckets: int, impl: str,
+                 transcripts_path: str | None = None) -> DataFrame:
     """Full-row routed frame with lineage bucket column (no action yet)."""
-    good, dead = run_parse_stage(spark, sf_dir, cfg, impl=impl)
-    good = assign_sink(enrich(good, spark, tag_unknown=False))
-    g = good.select(
-        "conv_id", "turn_idx", "ts", "text", "tool", "sink",
-        F.col("parsed")["cents"].alias("cents"),
-        F.lit(None).cast("string").alias("decoder_exception"),
-    )
-    d = dead.select(
-        "conv_id", "turn_idx", "ts",
-        F.col("message").alias("text"),
-        F.lit(None).cast("string").alias("tool"),
-        F.lit(DEAD_LETTER_SINK).alias("sink"),
-        F.lit(None).cast("long").alias("cents"),
-        "decoder_exception",
-    )
-    routed = g.unionByName(d)
+    if transcripts_path is not None:
+        tr = spark.read.parquet(transcripts_path)
+    else:
+        tr = transcripts_df(spark, sf_dir)
+    parsed = parse_turns(tr, cfg, impl=impl)
+    if cfg.stop_on_error:
+        first = parsed.filter(F.col("parsed.error").isNotNull()) \
+            .select("parsed.error", "text").take(1)
+        if first:
+            raise ValueError(
+                f"decode failed (stop_on_error): {first[0]['error']}"
+                f" on payload {first[0]['text']!r}"
+            )
+    enriched = enrich(parsed, spark, tag_unknown=False)
+    routed = route_all(enriched)
     return routed.withColumn(
         "_bucket", F.pmod(F.crc32(F.col("conv_id")), F.lit(n_buckets)).cast("int")
     )
@@ -73,6 +73,7 @@ def run_pipeline(
     wave_size: int = 4,
     impl: str = "native",
     fail_after_waves: int | None = None,
+    transcripts_path: str | None = None,
 ) -> dict:
     """Checkpointed parse→enrich→route job + final aggregates.
 
@@ -90,32 +91,51 @@ def run_pipeline(
     for b in todo:
         manifest.clear_partial_output(data_dir, b)
 
-    routed_all = _routed_wave(spark, sf_dir, cfg, n_buckets, impl)
+    routed_all = _routed_wave(spark, sf_dir, cfg, n_buckets, impl,
+                              transcripts_path=transcripts_path)
     waves = [todo[i:i + wave_size] for i in range(0, len(todo), wave_size)]
-    for wi, wave in enumerate(waves):
-        if fail_after_waves is not None and wi >= fail_after_waves:
-            raise RuntimeError("simulated kill")
-        t0 = time.time()
-        wave_df = routed_all.filter(F.col("_bucket").isin(wave))
-        n = int(cfg.route_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
-        (
-            wave_df.repartition(n, F.col("_bucket"), F.col("sink"), F.col("conv_id"))
-            .write.mode("append").partitionBy("_bucket", "sink").parquet(data_dir)
-        )
-        # per-bucket metrics from what landed (durable truth, not plan-side counts)
-        landed = (
-            spark.read.parquet(data_dir)
-            .filter(F.col("_bucket").isin(wave))
-            .groupBy("_bucket", "sink").count().collect()
-        )
-        dt = time.time() - t0
-        for b in wave:
-            sinks = {r["sink"]: r["count"] for r in landed if r["_bucket"] == b}
-            manifest.complete(b, {
-                "sinks": sinks,
-                "rows": int(sum(sinks.values())),
-                "wave_wall_sec": dt,
-            })
+    if len(waves) > 1:
+        # parse once, not once per wave: the wave filters then hit cached rows.
+        # (Resume across PROCESSES still prunes completed buckets at the scan.)
+        routed_all = routed_all.persist()
+    try:
+        n = int(cfg.route_partitions
+                or spark.conf.get("spark.sql.shuffle.partitions"))
+        for wi, wave in enumerate(waves):
+            if fail_after_waves is not None and wi >= fail_after_waves:
+                raise RuntimeError("simulated kill")
+            t0 = time.time()
+            wave_df = routed_all.filter(F.col("_bucket").isin(wave))
+            # explicit pre-write repartition on (bucket, sink, small salt):
+            # every (bucket, sink) output dir receives at most write_salt
+            # files (vs one file per task without the grouping), while the
+            # salt still spreads a hot sink over several tasks.
+            salt = F.pmod(F.crc32(F.col("conv_id")),
+                          F.lit(cfg.write_salt_buckets))
+            (
+                wave_df.repartition(n, F.col("_bucket"), F.col("sink"), salt)
+                .write.mode("append").partitionBy("_bucket", "sink")
+                .parquet(data_dir)
+            )
+            # per-bucket metrics from what landed (durable truth, not
+            # plan-side counts); read only this wave's bucket directories
+            landed = (
+                spark.read.option("basePath", data_dir)
+                .parquet(*[f"{data_dir}/_bucket={b}" for b in wave])
+                .groupBy("_bucket", "sink").count().collect()
+            )
+            dt = time.time() - t0
+            for b in wave:
+                sinks = {r["sink"]: r["count"] for r in landed
+                         if r["_bucket"] == b}
+                manifest.complete(b, {
+                    "sinks": sinks,
+                    "rows": int(sum(sinks.values())),
+                    "wave_wall_sec": dt,
+                })
+    finally:
+        if len(waves) > 1:
+            routed_all.unpersist()
 
     # final aggregates over the routed store (reads back only needed columns)
     routed = spark.read.parquet(data_dir)

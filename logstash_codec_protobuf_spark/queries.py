@@ -22,7 +22,7 @@ from .operators import encode as enc
 from .operators.enrich import enrich
 from .operators.normalize import oneof_clean, symbolize_enum
 from .operators.parse import parse_turns, split_dead_letter
-from .operators.route import assign_sink, route_counts
+from .operators.route import assign_sink, route_all, route_counts
 from .sources.dims import ENUMS_SQL, ROLES_SQL, TOOLS_SQL
 from .sources.tables import load_table
 from .sources.transcripts import TRANSCRIPTS_CTE, transcripts_df
@@ -233,11 +233,12 @@ SELECT sink, CAST(count(*) AS BIGINT) AS n_rows FROM (
     ),
 )
 def route_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-sink routed-row counts — the north star's headline invariant."""
+    """Per-sink routed-row counts — the north star's headline invariant.
+    Single pass: parse -> broadcast enrich -> sink resolution -> hash agg."""
     tr = transcripts_df(spark, sf_dir)
-    good, dead = split_dead_letter(parse_turns(tr, impl="native"))
-    good = assign_sink(enrich(good, spark, tag_unknown=False))
-    return route_counts(good, dead)
+    routed = route_all(enrich(parse_turns(tr, impl="native"), spark,
+                              tag_unknown=False))
+    return routed.groupBy("sink").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
 # --------------------------------------------------------------------------

@@ -34,12 +34,26 @@ TOOLS_ROWS = [
 ]
 
 
+# per-session cache: building + broadcasting a dim costs a Python->JVM
+# round-trip (~100ms); pipelines call enrich() per query, so reuse the frame
+_DIM_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _cached(spark: SparkSession, key: str, build) -> DataFrame:
+    k = (id(spark._jsparkSession), key)
+    if k not in _DIM_CACHE:
+        _DIM_CACHE[k] = build()
+    return _DIM_CACHE[k]
+
+
 def roles_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(ROLES_ROWS, "role string, role_group string, is_agent boolean")
+    return _cached(spark, "roles", lambda: spark.createDataFrame(
+        ROLES_ROWS, "role string, role_group string, is_agent boolean"))
 
 
 def tools_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(TOOLS_ROWS, "tool string, tool_family string, sink string")
+    return _cached(spark, "tools", lambda: spark.createDataFrame(
+        TOOLS_ROWS, "tool string, tool_family string, sink string"))
 
 
 def enums_df(spark: SparkSession) -> DataFrame:

@@ -102,6 +102,33 @@ def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TRANSCRIPTS_SQL)
 
 
+def replicated_transcripts(spark: SparkSession, sf_dir: str,
+                           factor: int = 10) -> DataFrame:
+    """Deterministic scale-up of the transcripts table for benchmarking:
+    each conversation is cloned `factor` times under a replica-suffixed
+    conv_id, preserving per-conversation structure (turn counts, skew shape,
+    malformed fraction). Used to make the scaling-efficiency measurement
+    compute-bound instead of overhead-bound."""
+    tr = transcripts_df(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    reps = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_rep")
+    return (
+        tr.select("*", reps)
+        .withColumn("conv_id", F.concat_ws("-r", F.col("conv_id"),
+                                           F.col("_rep").cast("string")))
+        .withColumn(
+            "text",
+            F.when(F.col("text").startswith("PB3|conv="),
+                   F.concat(F.lit("PB3|conv="), F.col("conv_id"),
+                            F.regexp_replace(F.col("text"),
+                                             r"^PB3\|conv=[^|]*", "")))
+            .otherwise(F.col("text")),
+        )
+        .drop("_rep")
+    )
+
+
 def oracle_with_transcripts(body: str) -> str:
     """Wrap an oracle SQL body so `transcripts` is available as a CTE in DuckDB."""
     return f"WITH {TRANSCRIPTS_CTE}\n{body}"

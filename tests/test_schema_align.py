@@ -1,0 +1,87 @@
+"""Recursive schema alignment (declarative twin of pb3 type-mismatch
+machinery, protobuf.rb:443-504, 571-613)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F, types as T
+
+from logstash_codec_protobuf_spark.operators.schema_align import (
+    align_to_schema, schema_diff,
+)
+from logstash_codec_protobuf_spark.cli import main as cli_main
+
+from .conftest import SF_DIR
+from .parity import duck_connection
+from .test_pipeline import EXPECTED_SINK_SQL
+
+
+def test_nested_struct_coercion(spark):
+    """String->int inside a nested struct, float->int lossless guard, extra
+    field dropped, missing field nulled."""
+    df = spark.createDataFrame([Row(
+        name=7,                       # int where string expected
+        inner=Row(count="42",         # string where long expected
+                  ratio=47.0,         # double where long expected (lossless)
+                  bad=47.5,           # double where long expected (lossy)
+                  extra="drop me"),   # not in target
+    )])
+    target = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("inner", T.StructType([
+            T.StructField("count", T.LongType()),
+            T.StructField("ratio", T.LongType()),
+            T.StructField("bad", T.LongType()),
+            T.StructField("missing", T.StringType()),
+        ])),
+    ])
+    out = align_to_schema(df, target)
+    assert out.schema == target
+    row = out.collect()[0]
+    assert row["name"] == "7"
+    assert row["inner"]["count"] == 42
+    assert row["inner"]["ratio"] == 47
+    assert row["inner"]["bad"] is None      # lossy refused -> null -> dead-letter
+    assert row["inner"]["missing"] is None
+
+
+def test_array_element_coercion(spark):
+    df = spark.createDataFrame([Row(xs=["1", "2", "nope"])])
+    target = T.StructType([T.StructField("xs", T.ArrayType(T.LongType()))])
+    assert align_to_schema(df, target).collect()[0]["xs"] == [1, 2, None]
+
+
+def test_schema_diff_reports_dotted_keys(spark):
+    actual = T.StructType([
+        T.StructField("a", T.StringType()),
+        T.StructField("nest", T.StructType([
+            T.StructField("x", T.StringType()),
+            T.StructField("surplus", T.LongType()),
+        ])),
+    ])
+    target = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("nest", T.StructType([
+            T.StructField("x", T.DoubleType()),
+            T.StructField("absent", T.BooleanType()),
+        ])),
+    ])
+    diff = {d["key"]: d for d in schema_diff(actual, target)}
+    assert diff["a"]["expected"] == "bigint"
+    assert diff["nest.x"]["actual"] == "string"
+    assert diff["nest.absent"]["actual"] is None
+    assert diff["nest.surplus"]["expected"] is None  # extra -> discard
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    """spark-submit contract: the CLI runs the checkpointed job and reports.
+    (Reuses the test session via getOrCreate — config is already set.)"""
+    out = str(tmp_path / "cli_out")
+    result = cli_main(["--sf-dir", SF_DIR, "--out", out,
+                       "--buckets", "4", "--wave-size", "4"])
+    landed = {
+        r["sink"]: r["count"]
+        for r in spark.read.parquet(f"{out}/routed").groupBy("sink").count().collect()
+    }
+    expected = dict(duck_connection(SF_DIR).execute(EXPECTED_SINK_SQL).fetchall())
+    assert landed == expected
+    assert result["buckets"] == 4
