@@ -118,12 +118,21 @@ def run_pipeline(
                 .parquet(data_dir)
             )
             # per-bucket metrics from what landed (durable truth, not
-            # plan-side counts); read only this wave's bucket directories
-            landed = (
-                spark.read.option("basePath", data_dir)
-                .parquet(*[f"{data_dir}/_bucket={b}" for b in wave])
-                .groupBy("_bucket", "sink").count().collect()
-            )
+            # plan-side counts); read only this wave's bucket directories.
+            # A bucket no conversation hashes into never creates a directory
+            # — legitimately empty, recorded as zero rows.
+            import os as _os
+
+            wave_paths = [p for p in
+                          (f"{data_dir}/_bucket={b}" for b in wave)
+                          if _os.path.isdir(p)]
+            landed = []
+            if wave_paths:
+                landed = (
+                    spark.read.option("basePath", data_dir)
+                    .parquet(*wave_paths)
+                    .groupBy("_bucket", "sink").count().collect()
+                )
             dt = time.time() - t0
             for b in wave:
                 sinks = {r["sink"]: r["count"] for r in landed

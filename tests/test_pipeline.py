@@ -43,6 +43,17 @@ def test_full_run_counts_match_oracle(spark, tmp_path):
     assert sum(m["rows"] for m in manifest.values()) == result["rows"]
 
 
+def test_empty_lineage_buckets_are_fine(spark, tmp_path):
+    """More buckets than populated hash slots: empty buckets must be recorded
+    as zero-row manifests, not crash the landed-count read-back."""
+    out = str(tmp_path / "job_sparse")
+    result = run_pipeline(spark, SF_DIR, out, n_buckets=64, wave_size=64)
+    manifest = CheckpointManifest(f"{out}/manifest").completed()
+    assert len(manifest) == 64
+    assert sum(m["rows"] for m in manifest.values()) == result["rows"]
+    assert any(m["rows"] == 0 for m in manifest.values())  # sparse at sf0.001
+
+
 def test_killed_run_resumes_without_reprocessing(spark, tmp_path):
     out = str(tmp_path / "job2")
     with pytest.raises(RuntimeError, match="simulated kill"):
