@@ -546,6 +546,128 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(MM.with_binary_payload(_docs(spark, sf_dir)))
 
 
+# --------------------------------------------------------------------------
+# nested message decode (pb3_to_hash recursion, protobuf.rb:287-336)
+# --------------------------------------------------------------------------
+
+_NESTED_JSON_EXPR = (
+    """'{"name":"u' || CAST(event_id AS STRING) || '","age":' """
+    """|| CAST(colour AS STRING) || ',"fur_colour":' || CAST(colour AS STRING) """
+    """|| ',"mother":{"name":"m' || CAST(event_id AS STRING) || '","fur_colour":' """
+    """|| CAST(event_id % 3 AS STRING) || '}}'"""
+)
+
+
+@query(
+    "nested_json_decode",
+    _oracle(
+        f"""
+SELECT t.event_id, 'u' || CAST(t.event_id AS STRING) AS uname,
+       t.colour AS age,
+       e1.name AS fur_name,
+       'm' || CAST(t.event_id AS STRING) AS mother_name,
+       e2.name AS mother_fur,
+       true AS father_missing,
+       false AS is_pegasus
+FROM _tr_base t
+JOIN enums e1 ON e1.enum_class = 'Colour' AND e1.code = t.colour
+JOIN enums e2 ON e2.enum_class = 'Colour'
+            AND e2.code = CAST(t.event_id % 3 AS INTEGER)
+"""
+    ),
+)
+def nested_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested wire message -> typed struct: enum names at every level, proto3
+    defaults for unset scalars, NULL for absent sub-messages (pb3_to_hash
+    semantics over a JSON stand-in wire format)."""
+    from .operators.decode_json import decode_json_message
+    from .schema import default_registry
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    base = spark.sql(
+        f"WITH {TRANSCRIPTS_CTE} SELECT event_id, {_NESTED_JSON_EXPR} AS payload"
+        " FROM _tr_base"
+    )
+    m = decode_json_message(F.col("payload"), default_registry(), "unicorn")
+    return base.select("event_id", m.alias("m")).select(
+        "event_id",
+        F.col("m")["name"].alias("uname"),
+        F.col("m")["age"].alias("age"),
+        F.col("m")["fur_colour"].alias("fur_name"),
+        F.col("m")["mother"]["name"].alias("mother_name"),
+        F.col("m")["mother"]["fur_colour"].alias("mother_fur"),
+        F.col("m")["father"].isNull().alias("father_missing"),
+        F.col("m")["is_pegasus"].alias("is_pegasus"),
+    )
+
+
+# --------------------------------------------------------------------------
+# relational breadth: TPC-H-style analytics over the star schema
+# (exact-arithmetic aggregates so parallel float-sum ordering can't diverge)
+# --------------------------------------------------------------------------
+
+@query(
+    "tpch_q1_pricing",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+       CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = lambda c: F.floor(c * 100).cast("bigint")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_price_c"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("sum_disc_price_c"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_join_topn",
+    """
+SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY n.n_name
+ORDER BY revenue_c DESC, nation
+LIMIT 10
+""",
+)
+def tpch_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim-dim join + agg + top-n; customer and nation broadcast."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .alias("revenue_c"),
+        )
+        .orderBy(F.desc("revenue_c"), F.asc("nation"))
+        .limit(10)
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -253,6 +253,43 @@ def default_registry() -> SchemaRegistry:
             ),
         )
     )
+    # Unicorn (spec/helpers/pb3/unicorn_pb.rb:7-18): scalars, enum, repeated
+    # enum + int, recursive mother/father — the pb3 decode flagship fixture.
+    reg.register_message(
+        MessageSpec(
+            "unicorn",
+            (
+                FieldSpec("name", "string"),
+                FieldSpec("age", "int32"),
+                FieldSpec("fur_colour", "enum:Colour"),
+                FieldSpec("favourite_colours", "enum:Colour", repeated=True),
+                FieldSpec("favourite_numbers", "int32", repeated=True),
+                FieldSpec("is_pegasus", "bool"),
+                FieldSpec("mother", "message:unicorn"),
+                FieldSpec("father", "message:unicorn"),
+            ),
+        )
+    )
+    # PhoneDirectory-style map + repeated-message fixture
+    # (spec/helpers/pb3/PhoneDirectory_pb.rb:7-28, events_pb.rb:7-16).
+    reg.register_message(
+        MessageSpec(
+            "contact",
+            (
+                FieldSpec("name", "string"),
+                FieldSpec("phone_numbers", "map<string,int32>"),
+            ),
+        )
+    )
+    reg.register_message(
+        MessageSpec(
+            "directory",
+            (
+                FieldSpec("scope", "string"),
+                FieldSpec("contacts", "message:contact", repeated=True),
+            ),
+        )
+    )
     # Recursive message fixture (Human / Unicorn mother-father pattern,
     # spec/helpers/pb2/human.pb.rb:16-17) — exercises depth-bounded unrolling.
     reg.register_message(
