@@ -84,6 +84,40 @@ def oneof_clean(
     return out
 
 
+def oneof_meta_per_element(arr: Column, discriminator_field: str) -> Column:
+    """Per-array-element oneof discriminators: the metadata for an array of
+    oneof-bearing messages is the array of chosen-option names
+    ([@metadata][pb_oneof][contacts[i].prefered_contact],
+    pb3_decode_spec.rb:611-635)."""
+    return F.transform(arr, lambda x: x[discriminator_field])
+
+
+def oneof_clean_elements(
+    arr: Column,
+    fields: list[str],
+    discriminator_field: str,
+    options: dict[str, str],
+) -> Column:
+    """XOR-enforce a oneof group INSIDE each element of an array of structs
+    (arrays-of-oneofs, pb3_decode_spec.rb:586-639): rebuild every element with
+    non-chosen option fields nulled. `fields` is the element's full field list
+    (struct rebuild needs it — Spark cannot patch a struct field in place)."""
+    option_cols = set(options.values())
+
+    def clean(x: Column) -> Column:
+        parts = []
+        for name in fields:
+            c = x[name]
+            if name in option_cols:
+                chosen = [opt for opt, col_name in options.items()
+                          if col_name == name]
+                c = F.when(x[discriminator_field] == chosen[0], c)
+            parts.append(c.alias(name))
+        return F.struct(*parts)
+
+    return F.transform(arr, clean)
+
+
 def strip_at_keys(df: DataFrame) -> DataFrame:
     """`@timestamp` -> `timestamp` key rename (protobuf.rb:623,651;
     round-trip fixture spec/codecs/pb2_spec.rb:144,161)."""
