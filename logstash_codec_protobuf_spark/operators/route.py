@@ -18,7 +18,6 @@ SURVEY.md §4).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..config import CodecConfig, DEAD_LETTER_SINK
 
@@ -84,40 +83,3 @@ def fan_out(
         .drop("_salt")
     )
     routed.write.mode(mode).partitionBy("sink").parquet(base_path)
-
-
-def fan_out_single_pass(
-    good: DataFrame,
-    dead: DataFrame,
-    base_path: str,
-    cfg: CodecConfig | None = None,
-) -> dict[str, int]:
-    """Route good + dead-letter flows to sink directories sharing one parse.
-
-    Returns per-sink written-row counts (read back from the sink layout, so the
-    numbers reflect what durably landed — the checkpoint manifest stores them).
-    """
-    cfg = cfg or CodecConfig()
-    spark = good.sparkSession
-    good = good.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        dead_routed = dead.select(
-            F.col("conv_id"), F.col("turn_idx"), F.col("ts"),
-            F.col("message").alias("text"),
-            F.col("decoder_exception"),
-            F.lit(None).cast("string").alias("tool"),
-            F.lit(DEAD_LETTER_SINK).alias("sink"),
-        )
-        good_routed = good.select(
-            F.col("conv_id"), F.col("turn_idx"), F.col("ts"), F.col("text"),
-            F.lit(None).cast("string").alias("decoder_exception"),
-            F.col("tool"), F.col("sink"),
-        )
-        fan_out(good_routed.unionByName(dead_routed), base_path, cfg)
-        written = (
-            spark.read.parquet(base_path)
-            .groupBy("sink").count().collect()
-        )
-        return {r["sink"]: r["count"] for r in written}
-    finally:
-        good.unpersist()

@@ -16,7 +16,7 @@ from ..config import CodecConfig, DEAD_LETTER_SINK
 from ..operators import aggregate as agg
 from ..operators.enrich import enrich
 from ..operators.parse import parse_turns, split_dead_letter
-from ..operators.route import assign_sink, fan_out, route_all
+from ..operators.route import route_all
 from ..sources.transcripts import transcripts_df
 from .checkpoint import CheckpointManifest
 

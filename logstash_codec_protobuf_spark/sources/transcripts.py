@@ -98,6 +98,10 @@ def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation, no shuffle) partitioned by bucket(conv_id) — this derivation
     exists only because the sandbox ships `events` instead.
     """
+    # oracle parity requires UTC: DuckDB treats parquet timestamps as naive,
+    # Spark formats them in the session timezone — pin it regardless of how
+    # the hosting session was built
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(TRANSCRIPTS_SQL)
 
