@@ -74,6 +74,37 @@ def turn_order_check(df: DataFrame) -> DataFrame:
     )
 
 
+def sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based session assignment within each conversation: a turn more than
+    `gap_minutes` after its predecessor starts a new session. The lag +
+    running-sum shape shuffles once on conv_id and sorts within partitions —
+    the canonical sessionization plan (no state store needed in batch;
+    streaming uses the watermarked window twin)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # integer microseconds: identical arithmetic in the DuckDB oracle
+    # (epoch_us), no float timestamps. ts arrives as TIMESTAMP_NTZ from
+    # parquet; the cast interprets it in the (UTC-pinned) session zone,
+    # matching DuckDB's naive-timestamp epoch.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(gap > gap_minutes * 60 * 1_000_000, 1).otherwise(0)
+    seq = F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn("session_seq", seq.cast("int"))
+
+
+def session_stats(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-(conversation, session) stats over the sessionized frame."""
+    s = sessionize(df, gap_minutes)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return s.groupBy("conv_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min(us).alias("start_us"),
+        F.max(us).alias("end_us"),
+    )
+
+
 def conv_first_last(df: DataFrame) -> DataFrame:
     """First/last message per conversation via ordered aggregation —
     max_by/min_by avoid a full window sort (single hash agg, no per-partition

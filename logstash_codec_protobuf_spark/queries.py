@@ -546,6 +546,83 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(MM.with_binary_payload(_docs(spark, sf_dir)))
 
 
+@query(
+    "session_stats",
+    _oracle(
+        """
+, _sess AS (
+    SELECT conv_id, turn_idx, ts,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                     > 1800000000 THEN 1 ELSE 0 END AS new_session
+    FROM transcripts
+), _assigned AS (
+    SELECT conv_id,
+           CAST(sum(new_session) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq,
+           ts
+    FROM _sess
+)
+SELECT conv_id, session_seq, CAST(count(*) AS BIGINT) AS n_turns,
+       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+FROM _assigned GROUP BY conv_id, session_seq
+"""
+    ),
+)
+def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle gap) + per-session aggregates —
+    the classic log-pipeline operator the codec's downstream consumers run."""
+    return agg.session_stats(transcripts_df(spark, sf_dir), gap_minutes=30)
+
+
+@query(
+    "role_sink_matrix",
+    _oracle(
+        """
+SELECT r.role,
+       CAST(sum(CASE WHEN tl.sink = 'sink_a' THEN 1 ELSE 0 END) AS BIGINT) AS sink_a,
+       CAST(sum(CASE WHEN tl.sink = 'sink_b' THEN 1 ELSE 0 END) AS BIGINT) AS sink_b,
+       CAST(sum(CASE WHEN tl.sink = 'sink_c' THEN 1 ELSE 0 END) AS BIGINT) AS sink_c,
+       CAST(sum(CASE WHEN tl.sink = 'sink_d' THEN 1 ELSE 0 END) AS BIGINT) AS sink_d
+FROM _tr_num r LEFT JOIN tools tl ON tl.tool = r.tool
+WHERE r.event_id % 37 <> 0
+GROUP BY r.role
+"""
+    ),
+)
+def role_sink_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: routed-row counts as a role x sink matrix (groupBy().pivot())."""
+    flat = _good_flat(spark, sf_dir)
+    enriched = enrich(flat, spark, tag_unknown=False)
+    return (
+        enriched.groupBy("role")
+        .pivot("sink", ["sink_a", "sink_b", "sink_c", "sink_d"])
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+        .na.fill(0, ["sink_a", "sink_b", "sink_c", "sink_d"])
+    )
+
+
+@query(
+    "conv_tool_diversity",
+    _oracle(
+        """
+SELECT 'conv-' || conv_key AS conv_id,
+       CAST(count(DISTINCT tool) AS BIGINT) AS n_tools,
+       CAST(count(DISTINCT role) AS BIGINT) AS n_roles
+FROM _tr_num WHERE event_id % 37 <> 0 GROUP BY conv_key
+"""
+    ),
+)
+def conv_tool_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count aggregates per conversation (expand-based exact
+    countDistinct — two-phase under the hood)."""
+    flat = _good_flat(spark, sf_dir)
+    return flat.groupBy("conv_id").agg(
+        F.countDistinct("tool").alias("n_tools"),
+        F.countDistinct("role").alias("n_roles"),
+    )
+
+
 # --------------------------------------------------------------------------
 # nested message decode (pb3_to_hash recursion, protobuf.rb:287-336)
 # --------------------------------------------------------------------------
