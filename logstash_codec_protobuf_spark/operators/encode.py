@@ -31,9 +31,19 @@ def coerce(col: Column, target: str) -> Column:
     plain cast THROWS on malformed input — the reference's `to_i`/`to_f` are
     lenient, and a failed row must dead-letter, not kill the job."""
     if target == "int":
+        # Exact path first: an integer-literal string parses directly to
+        # bigint with no precision loss (the reference's to_i is exact,
+        # protobuf.rb:589 — routing "9007199254740993" through double would
+        # round it silently yet still pass the floor(x)==x check). Only
+        # fractional inputs take the double/floor lossless-guard path.
+        as_str = col.cast("string")
+        exact = as_str.try_cast("bigint")
         as_double = col.try_cast("double")
         lossless = F.floor(as_double) == as_double
-        return F.when(lossless, as_double.try_cast("bigint"))
+        return F.coalesce(
+            F.when(as_str.rlike("^-?[0-9]+$"), exact),
+            F.when(lossless, as_double.try_cast("bigint")),
+        )
     if target == "string":
         return col.cast("string")
     if target == "float":
@@ -46,8 +56,14 @@ def coerce(col: Column, target: str) -> Column:
 def drop_nil_fields(df: DataFrame, fields: list[str]) -> DataFrame:
     """Nil-field removal before encode (protobuf.rb:616-618; fixture
     spec/codecs/pb3_encode_spec.rb:188-208). Columnar engines can't delete a
-    key per-row, so 'removed' == null — the serializer skips null fields."""
-    return df  # nulls are already 'absent'; serializer handles skipping
+    key per-row, so 'removed' == set-to-null: the serializer treats null as
+    absent and skips the field (proto3 wire semantics)."""
+    for name in fields:
+        if name in df.columns:
+            df = df.withColumn(
+                name, F.lit(None).cast(df.schema[name].dataType)
+            )
+    return df
 
 
 def serialize_turns(df: DataFrame, cfg: CodecConfig | None = None) -> DataFrame:

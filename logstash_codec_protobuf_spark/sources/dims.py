@@ -35,15 +35,22 @@ TOOLS_ROWS = [
 
 
 # per-session cache: building + broadcasting a dim costs a Python->JVM
-# round-trip (~100ms); pipelines call enrich() per query, so reuse the frame
-_DIM_CACHE: dict[tuple[int, str], DataFrame] = {}
+# round-trip (~100ms); pipelines call enrich() per query, so reuse the frame.
+# WeakKeyDictionary keyed on the live SparkSession: entries die with the
+# session object, so stopped sessions (bench.run_scaling creates/stops many
+# per process) don't pin DataFrames or grow the cache unboundedly.
+import weakref  # noqa: E402
+
+_DIM_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _cached(spark: SparkSession, key: str, build) -> DataFrame:
-    k = (id(spark._jsparkSession), key)
-    if k not in _DIM_CACHE:
-        _DIM_CACHE[k] = build()
-    return _DIM_CACHE[k]
+    per_session = _DIM_CACHE.setdefault(spark, {})
+    if key not in per_session:
+        per_session[key] = build()
+    return per_session[key]
 
 
 def roles_df(spark: SparkSession) -> DataFrame:

@@ -36,6 +36,34 @@ def test_autoconvert_matrix(spark):
     assert row["bf"] is False
 
 
+def test_coerce_int_exact_above_2pow53(spark):
+    """Integer-literal strings coerce exactly even above double precision
+    (2^53) — the reference's to_i is exact (protobuf.rb:589); routing through
+    double would silently round 9007199254740993 to ...92."""
+    df = spark.createDataFrame(
+        [Row(s="9007199254740993", huge="9223372036854775807",
+             over="99999999999999999999")]
+    )
+    row = df.select(
+        coerce(F.col("s"), "int").alias("v"),
+        coerce(F.col("huge"), "int").alias("maxv"),
+        coerce(F.col("over"), "int").alias("overflow"),
+    ).collect()[0]
+    assert row["v"] == 9007199254740993
+    assert row["maxv"] == 9223372036854775807
+    assert row["overflow"] is None  # beyond int64: refused, dead-letters
+
+
+def test_drop_nil_fields_nulls_listed_columns(spark):
+    """'Removed' fields become NULL so the serializer skips them
+    (protobuf.rb:616-618)."""
+    from logstash_codec_protobuf_spark.operators.encode import drop_nil_fields
+
+    df = spark.createDataFrame([Row(a="x", b=5, c=1.5)])
+    out = drop_nil_fields(df, ["b", "missing"]).collect()[0]
+    assert out["a"] == "x" and out["b"] is None and out["c"] == 1.5
+
+
 def test_encode_roundtrip_exact(spark):
     """decode(encode(x)) == x for every well-formed payload."""
     tr = transcripts_df(spark, SF_DIR).filter(~F.col("text").startswith("CORRUPT"))
