@@ -1,0 +1,185 @@
+"""Protobuf binary wire format — portable column-expression encoder.
+
+The reference codec's actual job is protobuf wire bytes in and out
+(`@pb_builder.decode(data)`, protobuf.rb:212-218; `serialize_to_string`,
+protobuf.rb:635-636). Round 1 exercised the *semantics* (enums, oneofs,
+defaults) over a textual stand-in; this module puts real varint /
+length-delimited bytes on the table.
+
+Encoding is expressed as pure SQL arithmetic over one template rendered in two
+dialects (functions.portable pattern), producing the payload as a lowercase
+hex string — bit-exact across Spark and DuckDB, so the encoder gets a full
+rows+schema+hash CORRECTNESS oracle instead of a rows-only check:
+
+- ``varint_hex``   : base-128 varint of a non-negative int64, unrolled to the
+                     9 groups an int64 < 2^63 can need (each group is plain
+                     intdiv/mod arithmetic — no engine-specific bit ops).
+- ``zigzag``       : sint zigzag mapping as a CASE (2x / -2x-1), no shifts.
+- ``string_field`` : tag + varint(byte_length) + hex(utf8 bytes); both engines'
+                     hex() emits uppercase hex of the raw UTF-8 bytes.
+- proto3 field presence: scalar fields are omitted at their default (0 / ''),
+  oneof members are ALWAYS emitted when chosen — even at the default value
+  (the default-valued-winner case, spec/codecs/pb3_decode_spec.rb:519-546).
+
+Ground truth is anchored by a pure-Python reference encoder (`py_*`) checked
+in tests against hand-computed byte vectors from the protobuf encoding spec
+(e.g. field 1 = varint 150 -> 08 96 01).
+
+At 100 TB the Spark side stays entirely inside whole-stage codegen: the
+payload is built by string/arithmetic expressions fused into the scan stage —
+no Python worker, no shuffle.
+"""
+
+from __future__ import annotations
+
+from .portable import Dialect
+
+_HEXCHARS = "0123456789abcdef"
+
+# wire types (protobuf encoding spec)
+WT_VARINT = 0
+WT_FIXED64 = 1
+WT_LEN = 2
+WT_FIXED32 = 5
+
+
+# ---------------------------------------------------------------------------
+# pure-Python reference implementation (test anchor + fixture builder)
+# ---------------------------------------------------------------------------
+
+def py_varint(n: int) -> bytes:
+    """Base-128 varint of an unsigned value (negatives enter as two's
+    complement uint64, the proto3 int64 rule)."""
+    if n < 0:
+        n += 1 << 64
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def py_zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+
+
+def py_unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def py_tag(field_num: int, wire_type: int) -> bytes:
+    return py_varint((field_num << 3) | wire_type)
+
+
+def py_field_varint(field_num: int, value: int) -> bytes:
+    return py_tag(field_num, WT_VARINT) + py_varint(value)
+
+
+def py_field_sint(field_num: int, value: int) -> bytes:
+    return py_tag(field_num, WT_VARINT) + py_varint(py_zigzag(value))
+
+
+def py_field_len(field_num: int, payload: bytes) -> bytes:
+    return py_tag(field_num, WT_LEN) + py_varint(len(payload)) + payload
+
+
+def py_field_string(field_num: int, value: str) -> bytes:
+    return py_field_len(field_num, value.encode("utf-8"))
+
+
+# ---------------------------------------------------------------------------
+# portable SQL templates (hex-string output)
+# ---------------------------------------------------------------------------
+
+def byte_hex(d: Dialect, b: str) -> str:
+    """Two lowercase hex digits of an int expression in [0, 255]."""
+    hi = f"CAST({d.intdiv(f'({b})', '16')} AS INTEGER) + 1"
+    lo = f"CAST(({b}) % 16 AS INTEGER) + 1"
+    return (f"(substring('{_HEXCHARS}', {hi}, 1) || "
+            f"substring('{_HEXCHARS}', {lo}, 1))")
+
+
+def varint_hex(d: Dialect, x: str) -> str:
+    """Varint of a NON-NEGATIVE int64 expression (< 2^63) as lowercase hex.
+
+    Unrolled to 9 base-128 groups; group i is present iff x >= 128^i, and
+    carries a continuation bit iff x >= 128^(i+1). All intdiv/mod arithmetic
+    — identical in both engines for non-negative operands.
+    """
+    parts = []
+    for i in range(9):
+        lo_t = 128 ** i
+        hi_t = 128 ** (i + 1)
+        group = f"({d.intdiv(f'({x})', str(lo_t))} % 128)"
+        if i < 8:  # group 8 of an int64 < 2^63 never has a continuation bit
+            byte = f"({group} + CASE WHEN ({x}) >= {hi_t} THEN 128 ELSE 0 END)"
+        else:
+            byte = group
+        term = byte_hex(d, byte)
+        if i == 0:
+            parts.append(term)
+        else:
+            parts.append(f"CASE WHEN ({x}) >= {lo_t} THEN {term} ELSE '' END")
+    return "(" + " || ".join(parts) + ")"
+
+
+def zigzag(d: Dialect, x: str) -> str:
+    """sint zigzag as pure arithmetic: n>=0 -> 2n, n<0 -> -2n-1."""
+    return (f"(CASE WHEN ({x}) >= 0 THEN 2 * ({x}) "
+            f"ELSE -2 * ({x}) - 1 END)")
+
+
+def strlen_bytes(d: Dialect, s: str) -> str:
+    """UTF-8 byte length of a string expression."""
+    return f"octet_length({s})" if d.name == "spark" else f"strlen({s})"
+
+
+def hex_utf8(d: Dialect, s: str) -> str:
+    """Lowercase hex of a string's UTF-8 bytes (hex() in both engines)."""
+    return f"lower(hex({s}))"
+
+
+def tag_hex(field_num: int, wire_type: int) -> str:
+    """Field tag as a hex literal (constant per field — folded in Python)."""
+    return py_tag(field_num, wire_type).hex()
+
+
+def varint_field_hex(d: Dialect, field_num: int, x: str,
+                     when: str | None = None) -> str:
+    """Varint-typed field. Default presence rule: omit when 0/NULL (proto3
+    implicit-presence scalars); pass `when` to override (oneof members emit
+    whenever chosen, even at the default value)."""
+    cond = when if when is not None else f"({x}) IS NOT NULL AND ({x}) <> 0"
+    return (f"CASE WHEN {cond} THEN '{tag_hex(field_num, WT_VARINT)}' || "
+            f"{varint_hex(d, x)} ELSE '' END")
+
+
+def sint_field_hex(d: Dialect, field_num: int, x: str,
+                   when: str | None = None) -> str:
+    cond = when if when is not None else f"({x}) IS NOT NULL AND ({x}) <> 0"
+    return (f"CASE WHEN {cond} THEN '{tag_hex(field_num, WT_VARINT)}' || "
+            f"{varint_hex(d, zigzag(d, x))} ELSE '' END")
+
+
+def string_field_hex(d: Dialect, field_num: int, s: str,
+                     when: str | None = None) -> str:
+    cond = when if when is not None else f"({s}) IS NOT NULL AND ({s}) <> ''"
+    return (f"CASE WHEN {cond} THEN '{tag_hex(field_num, WT_LEN)}' || "
+            f"{varint_hex(d, strlen_bytes(d, s))} || {hex_utf8(d, s)} "
+            f"ELSE '' END")
+
+
+def bool_field_hex(d: Dialect, field_num: int, b: str) -> str:
+    """bool field: true -> tag + 01, false omitted (proto3 default)."""
+    return (f"CASE WHEN ({b}) IS NOT NULL AND ({b}) THEN "
+            f"'{tag_hex(field_num, WT_VARINT)}01' ELSE '' END")
+
+
+def concat_fields_hex(parts: list[str]) -> str:
+    """Message hex = ordered concatenation of field encodings. Every part is
+    ''-defaulting (CASE ... ELSE ''), so NULL can never poison the concat."""
+    return "(" + " || ".join(f"({p})" for p in parts) + ")"

@@ -1,0 +1,390 @@
+"""Protobuf binary wire-format decode (and the turn_wire encode template).
+
+This is the engine's re-expression of the reference codec's real hot path:
+``@pb_builder.decode(data)`` (protobuf.rb:212-218) consuming actual varint /
+length-delimited bytes, and ``serialize_to_string`` (protobuf.rb:635-636)
+producing them.
+
+Split of labor, Spark-first:
+
+- **Encode** stays 100% JVM-side: ``functions.wire`` renders the message as
+  pure column arithmetic (hex string -> ``unhex`` -> BinaryType). No Python
+  worker; fuses into whole-stage codegen; bit-exact DuckDB oracle.
+- **Decode** is genuinely non-relational (variable-length fields, arbitrary
+  field order, unknown-field skipping, nested recursion) — the sanctioned
+  Arrow-batched pandas UDF path (SURVEY.md §2.11). One Python worker exchange
+  per batch, ~10^4 payloads per round trip, never per-row SQL UDFs. On a
+  cluster with the spark-protobuf jar the UDF swaps for ``from_protobuf``
+  with a compiled descriptor set; the sandbox ships no such jar, so the wire
+  parser below IS the implementation, validated against hand-computed vectors
+  from the protobuf encoding spec.
+
+Wire parser semantics mirrored from the reference:
+- unknown fields are skipped by wire type (forward compatibility),
+- pb3 enums decode to NAMES, pb2 to ints (protobuf.rb:330-331),
+- proto3 defaults are emitted for absent scalars (protobuf.rb:297),
+- the oneof discriminator is whichever member was last seen on the wire —
+  recorded as metadata, value preserved even when it equals the default
+  (spec/codecs/pb3_decode_spec.rb:519-546),
+- malformed payloads raise -> error row -> dead-letter route
+  (protobuf.rb:225-233), original bytes preserved.
+"""
+
+from __future__ import annotations
+
+import struct
+from decimal import Decimal
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from ..functions.portable import DUCK, SPARK, Dialect
+from ..functions.wire import (
+    concat_fields_hex,
+    py_unzigzag,
+    sint_field_hex,
+    string_field_hex,
+    varint_field_hex,
+)
+from ..schema import SchemaRegistry, default_registry
+
+WIRE_ERROR = "payload does not match pb3 wire format"
+
+_VARINT_TYPES = {"int32", "int64", "uint32", "uint64", "sint32", "sint64",
+                 "bool"}
+
+
+# ---------------------------------------------------------------------------
+# pure-Python wire parser (runs inside the Arrow batch UDF)
+# ---------------------------------------------------------------------------
+
+def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(buf) or shift > 63:
+            raise ValueError(WIRE_ERROR)
+        b = buf[pos]
+        result |= (b & 0x7F) << shift
+        pos += 1
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _varint_value(v: int, ftype: str):
+    """Interpret a raw varint per declared scalar type."""
+    if ftype in ("sint32", "sint64"):
+        return py_unzigzag(v)
+    if ftype == "bool":
+        return v != 0
+    if ftype in ("int32", "int64") and v >= 1 << 63:
+        return v - (1 << 64)  # two's-complement negatives ride as uint64
+    return v  # uint32/uint64 and non-negative ints
+
+
+def _scalar_kind(ftype: str) -> str:
+    if ftype in _VARINT_TYPES or ftype.startswith("enum:"):
+        return "varint"
+    if ftype in ("string", "bytes"):
+        return "len"
+    if ftype == "float":
+        return "fixed32"
+    if ftype == "double":
+        return "fixed64"
+    if ftype.startswith("message:") or ftype.startswith("map<"):
+        return "len"
+    raise ValueError(f"unsupported wire type: {ftype}")
+
+
+def _decode_packed(data: bytes, ftype: str, registry: SchemaRegistry,
+                   proto_version: int) -> list:
+    """Packed repeated numerics (proto3 default packing for varint fields)."""
+    out = []
+    pos = 0
+    while pos < len(data):
+        v, pos = read_varint(data, pos)
+        out.append(_typed_varint(v, ftype, registry, proto_version))
+    return out
+
+
+def _typed_varint(v: int, ftype: str, registry: SchemaRegistry,
+                  proto_version: int):
+    if ftype.startswith("enum:"):
+        if proto_version == 2:
+            return v
+        name = registry.enums[ftype[5:]].name_of(v)
+        return name if name is not None else v  # unknown code: passthrough
+    return _varint_value(v, ftype)
+
+
+def py_decode(buf: bytes, registry: SchemaRegistry, message: str,
+              proto_version: int = 3, depth: int = 4) -> dict:
+    """bytes -> dict per the registered message spec (pb3_to_hash semantics,
+    protobuf.rb:287-336). Raises ValueError(WIRE_ERROR) on malformed input."""
+    if depth <= 0:
+        raise ValueError(WIRE_ERROR)
+    spec = registry.messages[message]
+    by_num = {num: f for num, f in spec.wire_fields()}
+
+    # proto3 default emission for absent scalars (protobuf.rb:297)
+    out: dict = {}
+    for f in spec.fields:
+        if f.repeated or f.type.startswith("map<"):
+            out[f.name] = [] if f.repeated else {}
+        elif f.oneof or f.type.startswith("message:"):
+            out[f.name] = None
+        elif f.type.startswith("enum:"):
+            enum = registry.enums[f.type[5:]]
+            out[f.name] = enum.default_name if proto_version == 3 else 0
+        else:
+            from ..schema import _SCALAR_DEFAULTS
+            out[f.name] = _SCALAR_DEFAULTS[f.type]
+    chosen: dict[str, str] = {}  # oneof group -> chosen member field
+
+    pos = 0
+    while pos < len(buf):
+        tag, pos = read_varint(buf, pos)
+        fnum, wt = tag >> 3, tag & 7
+        if fnum == 0:
+            raise ValueError(WIRE_ERROR)
+        if wt == 0:
+            raw, pos = read_varint(buf, pos)
+            data = None
+        elif wt == 1:
+            if pos + 8 > len(buf):
+                raise ValueError(WIRE_ERROR)
+            data = buf[pos:pos + 8]
+            pos += 8
+            raw = None
+        elif wt == 5:
+            if pos + 4 > len(buf):
+                raise ValueError(WIRE_ERROR)
+            data = buf[pos:pos + 4]
+            pos += 4
+            raw = None
+        elif wt == 2:
+            ln, pos = read_varint(buf, pos)
+            if pos + ln > len(buf):
+                raise ValueError(WIRE_ERROR)
+            data = buf[pos:pos + ln]
+            pos += ln
+            raw = None
+        else:
+            raise ValueError(WIRE_ERROR)  # groups (3/4): not in proto3
+
+        f = by_num.get(fnum)
+        if f is None:
+            continue  # unknown field: skipped, forward-compatible
+
+        if wt == 0:
+            if _scalar_kind(f.type) != "varint":
+                raise ValueError(WIRE_ERROR)
+            val = _typed_varint(raw, f.type, registry, proto_version)
+            if f.repeated:
+                out[f.name].append(val)
+            else:
+                out[f.name] = val
+        elif wt == 1:
+            if f.type != "double":
+                continue  # skip: declared type doesn't use fixed64
+            out[f.name] = struct.unpack("<d", data)[0]
+        elif wt == 5:
+            if f.type != "float":
+                continue
+            out[f.name] = struct.unpack("<f", data)[0]
+        else:  # wt == 2
+            if f.type == "string":
+                try:
+                    val = data.decode("utf-8")
+                except UnicodeDecodeError as e:
+                    raise ValueError(WIRE_ERROR) from e
+            elif f.type == "bytes":
+                val = data
+            elif f.type.startswith("message:"):
+                val = py_decode(data, registry, f.type[8:], proto_version,
+                                depth - 1)
+            elif f.type.startswith("map<"):
+                k, v = (t.strip() for t in f.type[4:-1].split(",", 1))
+                entry = _decode_map_entry(data, k, v, registry, proto_version)
+                out[f.name].update(entry)
+                continue
+            elif f.repeated and _scalar_kind(f.type) == "varint":
+                out[f.name].extend(
+                    _decode_packed(data, f.type, registry, proto_version)
+                )
+                continue
+            else:
+                raise ValueError(WIRE_ERROR)
+            if f.repeated:
+                out[f.name].append(val)
+            else:
+                out[f.name] = val
+
+        if f.oneof:
+            group = f.oneof
+            prev = chosen.get(group)
+            if prev is not None and prev != f.name:
+                out[prev] = None  # last oneof member on the wire wins
+            chosen[group] = f.name
+    out["_pb_oneof"] = chosen
+    return out
+
+
+def _decode_map_entry(data: bytes, ktype: str, vtype: str,
+                      registry: SchemaRegistry, proto_version: int) -> dict:
+    """One map entry = a message {1: key, 2: value}."""
+    key = "" if ktype == "string" else 0
+    val: object = "" if vtype == "string" else 0
+    pos = 0
+    while pos < len(data):
+        tag, pos = read_varint(data, pos)
+        fnum, wt = tag >> 3, tag & 7
+        if wt == 0:
+            raw, pos = read_varint(data, pos)
+            if fnum == 1:
+                key = _varint_value(raw, ktype)
+            elif fnum == 2:
+                val = _typed_varint(raw, vtype, registry, proto_version)
+        elif wt == 2:
+            ln, pos = read_varint(data, pos)
+            chunk = data[pos:pos + ln]
+            pos += ln
+            if fnum == 1 and ktype == "string":
+                key = chunk.decode("utf-8")
+            elif fnum == 2 and vtype == "string":
+                val = chunk.decode("utf-8")
+        else:
+            raise ValueError(WIRE_ERROR)
+    return {key: val}
+
+
+# ---------------------------------------------------------------------------
+# turn_wire: the transcript turn as real protobuf bytes
+# ---------------------------------------------------------------------------
+
+def turn_wire_hex(d: Dialect, c: dict[str, str]) -> str:
+    """Hex of the turn_wire message (schema.default_registry 'turn_wire').
+
+    ``c`` maps logical field -> SQL expression in dialect ``d``. Scalar fields
+    follow proto3 implicit presence (omitted at 0/''); the oneof member is
+    emitted whenever chosen, even at value 0 (default-valued winner,
+    spec/codecs/pb3_decode_spec.rb:519-546).
+    """
+    horn_when = f"({c['body_type']}) = 'unicorn' AND ({c['horn']}) IS NOT NULL"
+    wings_when = f"({c['body_type']}) = 'pegasus' AND ({c['wings']}) IS NOT NULL"
+    return concat_fields_hex([
+        string_field_hex(d, 1, c["conv_id"]),
+        varint_field_hex(d, 2, c["turn_idx"]),
+        string_field_hex(d, 3, c["role"]),
+        string_field_hex(d, 4, c["tool"]),
+        varint_field_hex(d, 5, c["colour"]),
+        sint_field_hex(d, 6, c["cents"]),
+        varint_field_hex(d, 8, c["horn"], when=horn_when),
+        varint_field_hex(d, 9, c["wings"], when=wings_when),
+        string_field_hex(d, 10, c["msg"]),
+    ])
+
+
+def py_encode_turn(v: dict) -> bytes:
+    """Pure-Python twin of ``turn_wire_hex`` (test anchor): same field order,
+    same presence rules."""
+    from ..functions.wire import (
+        py_field_sint, py_field_string, py_field_varint,
+    )
+
+    out = b""
+    if v.get("conv_id"):
+        out += py_field_string(1, v["conv_id"])
+    if v.get("turn_idx"):
+        out += py_field_varint(2, v["turn_idx"])
+    if v.get("role"):
+        out += py_field_string(3, v["role"])
+    if v.get("tool"):
+        out += py_field_string(4, v["tool"])
+    if v.get("colour"):
+        out += py_field_varint(5, v["colour"])
+    if v.get("cents"):
+        out += py_field_sint(6, v["cents"])
+    if v.get("body_type") == "unicorn" and v.get("horn") is not None:
+        out += py_field_varint(8, v["horn"])
+    if v.get("body_type") == "pegasus" and v.get("wings") is not None:
+        out += py_field_varint(9, v["wings"])
+    if v.get("msg"):
+        out += py_field_string(10, v["msg"])
+    return out
+
+
+SPARK_TURN_COLS = {
+    "conv_id": "conv_id", "turn_idx": "turn_idx", "role": "role",
+    "tool": "tool", "colour": "colour", "cents": "cents",
+    "body_type": "body_type", "horn": "horn", "wings": "wings", "msg": "msg",
+}
+
+DUCK_TURN_COLS = {
+    "conv_id": "'conv-' || conv_key", "turn_idx": "turn_idx", "role": "role",
+    "tool": "tool", "colour": "colour", "cents": "cents",
+    "body_type": "oneof_kind", "horn": "horn", "wings": "wings",
+    "msg": "'m' || CAST(event_id AS STRING)",
+}
+
+
+def encode_turn_wire(df: DataFrame, binary: bool = True) -> DataFrame:
+    """Append ``payload_hex`` (and BinaryType ``payload`` when ``binary``) —
+    pure column expressions, zero Python workers."""
+    out = df.withColumn("payload_hex", F.expr(turn_wire_hex(SPARK, SPARK_TURN_COLS)))
+    if binary:
+        out = out.withColumn("payload", F.unhex(F.col("payload_hex")))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched decode UDF
+# ---------------------------------------------------------------------------
+
+TURN_WIRE_DECODED = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("tool", T.StringType()),
+    T.StructField("colour", T.StringType()),   # pb3: enum NAME
+    T.StructField("cents", T.LongType()),
+    T.StructField("horn", T.IntegerType()),
+    T.StructField("wings", T.IntegerType()),
+    T.StructField("msg", T.StringType()),
+    T.StructField("oneof_body", T.StringType()),  # chosen member field name
+    T.StructField("error", T.StringType()),
+])
+
+_TURN_FIELDS = ["conv_id", "turn_idx", "role", "tool", "colour", "cents",
+                "horn", "wings", "msg"]
+
+
+@F.pandas_udf(TURN_WIRE_DECODED)
+def _decode_turn_wire_udf(payload: pd.Series) -> pd.DataFrame:
+    """One registry build per batch; pure-Python parse per payload inside the
+    Arrow batch (variable-length binary parse has no columnar form — this is
+    the from_protobuf seam)."""
+    registry = default_registry()
+    rows = []
+    for buf in payload:
+        if buf is None:
+            rows.append({"error": WIRE_ERROR})
+            continue
+        try:
+            d = py_decode(bytes(buf), registry, "turn_wire")
+            row = {k: d[k] for k in _TURN_FIELDS}
+            row["oneof_body"] = d["_pb_oneof"].get("body")
+            row["error"] = None
+            rows.append(row)
+        except ValueError:
+            rows.append({"error": WIRE_ERROR})
+    out = pd.DataFrame(rows, columns=[f.name for f in TURN_WIRE_DECODED])
+    for c in ("turn_idx", "cents", "horn", "wings"):
+        out[c] = out[c].astype("Int64")
+    return out
+
+
+def decode_turn_wire(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """BinaryType payload -> ``decoded`` struct column (1:1 projection)."""
+    return df.withColumn("decoded", _decode_turn_wire_udf(F.col(payload_col)))

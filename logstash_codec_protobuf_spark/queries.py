@@ -384,6 +384,116 @@ def encode_autoconvert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# protobuf BINARY wire format (protobuf.rb:212-218 decode, :635-636 encode)
+# --------------------------------------------------------------------------
+
+from .functions.portable import DUCK as _DUCK_D  # noqa: E402
+from .operators import pb_wire as PW  # noqa: E402
+
+_DUCK_WIRE_HEX = PW.turn_wire_hex(_DUCK_D, PW.DUCK_TURN_COLS)
+
+
+@query(
+    "pb_wire_encode",
+    _oracle(
+        f"""
+SELECT 'conv-' || conv_key AS conv_id, turn_idx,
+       {_DUCK_WIRE_HEX} AS payload_hex
+FROM _tr_num WHERE event_id % 37 <> 0
+"""
+    ),
+)
+def pb_wire_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real protobuf wire bytes OUT (serialize_to_string, protobuf.rb:635-636):
+    varints, zigzag sint64, length-delimited UTF-8, proto3 implicit presence,
+    always-emitted oneof winner. Pure column arithmetic (whole-stage codegen,
+    no Python worker); the oracle renders the SAME portable template in DuckDB,
+    so the payload hex is compared bit-for-bit."""
+    flat = _good_flat(spark, sf_dir)
+    return PW.encode_turn_wire(flat, binary=False).select(
+        "conv_id", "turn_idx", "payload_hex"
+    )
+
+
+@query(
+    "pb_wire_decode",
+    _oracle(
+        """
+SELECT 'conv-' || conv_key AS conv_id, turn_idx, role, tool,
+       e.name AS colour, cents,
+       CASE WHEN oneof_kind = 'unicorn' THEN horn END AS horn,
+       CASE WHEN oneof_kind = 'pegasus' THEN wings END AS wings,
+       'm' || CAST(event_id AS STRING) AS msg,
+       CASE WHEN oneof_kind = 'unicorn' THEN 'horn' ELSE 'wings' END
+           AS oneof_body
+FROM _tr_num t
+LEFT JOIN enums e ON e.enum_class = 'Colour' AND e.code = t.colour
+WHERE event_id % 37 <> 0
+"""
+    ),
+)
+def pb_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real protobuf wire bytes IN (@pb_builder.decode, protobuf.rb:212-218):
+    Arrow-batched varint/length-delimited parse with pb3 enum symbolization,
+    proto3 default emission, oneof winner metadata. The oracle reconstructs
+    the expected decode from the generator's pre-serialization fields —
+    a full encode->decode round trip against an independent derivation."""
+    enc_df = PW.encode_turn_wire(_good_flat(spark, sf_dir))
+    dec = PW.decode_turn_wire(enc_df)
+    d = F.col("decoded")
+    return dec.select(
+        d["conv_id"].alias("conv_id"), d["turn_idx"].alias("turn_idx"),
+        d["role"].alias("role"), d["tool"].alias("tool"),
+        d["colour"].alias("colour"), d["cents"].alias("cents"),
+        d["horn"].alias("horn"), d["wings"].alias("wings"),
+        d["msg"].alias("msg"), d["oneof_body"].alias("oneof_body"),
+    )
+
+
+@query(
+    "pb_wire_roundtrip",
+    _oracle(
+        """
+SELECT 'conv-' || conv_key AS conv_id, turn_idx, TRUE AS bytes_match
+FROM _tr_num WHERE event_id % 37 <> 0
+"""
+    ),
+)
+def pb_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode -> decode -> re-encode reproduces the original payload
+    byte-for-byte (the reference's round-trip oracle pattern,
+    spec/codecs/pb3_encode_spec.rb:25-41, over REAL wire bytes). The decoded
+    enum NAME maps back to its code via the broadcast enum dim before
+    re-serialization."""
+    from .sources.dims import enums_df
+
+    enc_df = PW.encode_turn_wire(_good_flat(spark, sf_dir))
+    dec = PW.decode_turn_wire(enc_df).select(
+        F.col("payload_hex").alias("orig_hex"), F.col("decoded").alias("d")
+    )
+    colours = enums_df(spark).filter(F.col("enum_class") == "Colour")
+    d = F.col("d")
+    flat2 = dec.join(
+        F.broadcast(colours), d["colour"] == colours["name"], "left"
+    ).select(
+        "orig_hex",
+        d["conv_id"].alias("conv_id"), d["turn_idx"].alias("turn_idx"),
+        d["role"].alias("role"), d["tool"].alias("tool"),
+        F.col("code").alias("colour"), d["cents"].alias("cents"),
+        F.when(d["oneof_body"] == "horn", F.lit("unicorn"))
+         .when(d["oneof_body"] == "wings", F.lit("pegasus"))
+         .alias("body_type"),
+        d["horn"].alias("horn"), d["wings"].alias("wings"),
+        d["msg"].alias("msg"),
+    )
+    re_enc = PW.encode_turn_wire(flat2, binary=False)
+    return re_enc.select(
+        "conv_id", "turn_idx",
+        (F.col("payload_hex") == F.col("orig_hex")).alias("bytes_match"),
+    )
+
+
+# --------------------------------------------------------------------------
 # google.protobuf.Struct / JSON decode (protobuf.rb:290-294)
 # --------------------------------------------------------------------------
 

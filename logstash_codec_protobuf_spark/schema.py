@@ -33,7 +33,12 @@ _SCALAR_TYPES = {
     "int32": T.IntegerType(),
     "uint32": T.LongType(),
     "int64": T.LongType(),
-    "uint64": T.LongType(),
+    "sint32": T.IntegerType(),
+    "sint64": T.LongType(),
+    # uint64 values reach 2^64-1 (DNS ids, spec/helpers/pb3/dnsmessage_pb.rb:15-18)
+    # — LongType would corrupt anything >= 2^63, so the unsigned range rides in
+    # DECIMAL(20,0) (max 99999999999999999999 > 18446744073709551615).
+    "uint64": T.DecimalType(20, 0),
     "float": T.FloatType(),
     "double": T.DoubleType(),
     "bool": T.BooleanType(),
@@ -47,6 +52,8 @@ _SCALAR_DEFAULTS = {
     "int32": 0,
     "uint32": 0,
     "int64": 0,
+    "sint32": 0,
+    "sint64": 0,
     "uint64": 0,
     "float": 0.0,
     "double": 0.0,
@@ -86,6 +93,7 @@ class FieldSpec:
     type: str  # scalar name, "enum:<EnumName>", "message:<MessageName>", "map<k,v>"
     repeated: bool = False
     oneof: Optional[str] = None  # oneof group name, if member of one
+    number: Optional[int] = None  # wire field number; None -> position + 1
 
 
 @dataclass(frozen=True)
@@ -99,6 +107,14 @@ class MessageSpec:
             if f.oneof:
                 groups.setdefault(f.oneof, []).append(f.name)
         return groups
+
+    def wire_fields(self) -> list[tuple[int, FieldSpec]]:
+        """(field_number, spec) pairs — explicit numbers win, otherwise
+        1-based position (the common contiguous-numbering case)."""
+        return [
+            (f.number if f.number is not None else i + 1, f)
+            for i, f in enumerate(self.fields)
+        ]
 
 
 class SchemaRegistryError(ValueError):
@@ -267,6 +283,53 @@ def default_registry() -> SchemaRegistry:
                 FieldSpec("is_pegasus", "bool"),
                 FieldSpec("mother", "message:unicorn"),
                 FieldSpec("father", "message:unicorn"),
+            ),
+        )
+    )
+    # The BINARY wire twin of turn_payload: what a real pb3 encoder puts on
+    # the wire for one transcript turn (varints, zigzag sint64, length-
+    # delimited strings, a 2-member oneof whose chosen member is always
+    # serialized — spec/codecs/pb3_decode_spec.rb:519-546). body_type is NOT a
+    # wire field here: the discriminator is implicit in which oneof member
+    # appears, exactly like real protobuf.
+    reg.register_message(
+        MessageSpec(
+            "turn_wire",
+            (
+                FieldSpec("conv_id", "string", number=1),
+                FieldSpec("turn_idx", "int32", number=2),
+                FieldSpec("role", "string", number=3),
+                FieldSpec("tool", "string", number=4),
+                FieldSpec("colour", "enum:Colour", number=5),
+                FieldSpec("cents", "sint64", number=6),
+                FieldSpec("horn", "int32", oneof="body", number=8),
+                FieldSpec("wings", "int32", oneof="body", number=9),
+                FieldSpec("msg", "string", number=10),
+            ),
+        )
+    )
+    # DNS message fixture (spec/helpers/pb3/dnsmessage_pb.rb:8-18, exercised
+    # spec/codecs/pb3_decode_spec.rb:172-241): bytes + uint64/uint32 heavy.
+    reg.register_message(
+        MessageSpec(
+            "dns_question",
+            (
+                FieldSpec("name", "bytes", number=1),
+                FieldSpec("qtype", "uint32", number=2),
+                FieldSpec("qclass", "uint32", number=3),
+            ),
+        )
+    )
+    reg.register_message(
+        MessageSpec(
+            "dns_message",
+            (
+                FieldSpec("id", "uint64", number=1),
+                FieldSpec("response_code", "uint32", number=2),
+                FieldSpec("opcode", "uint64", number=3),
+                FieldSpec("question", "message:dns_question", repeated=True,
+                          number=4),
+                FieldSpec("payload", "bytes", number=5),
             ),
         )
     )

@@ -1,0 +1,203 @@
+"""Protobuf binary wire format: golden vectors from the protobuf encoding
+spec, parser edge cases, SQL-encoder/Python-encoder/decoder agreement
+(the reference's real decode/encode surface, protobuf.rb:212-218,635-636)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_codec_protobuf_spark.functions.wire import (
+    py_field_len, py_field_sint, py_field_string, py_field_varint, py_tag,
+    py_varint, py_zigzag,
+)
+from logstash_codec_protobuf_spark.operators import pb_wire as W
+from logstash_codec_protobuf_spark.schema import default_registry
+from logstash_codec_protobuf_spark.sources.transcripts import (
+    TRANSCRIPTS_CTE, transcripts_df,
+)
+
+from .conftest import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# golden vectors (hand-computed from the protobuf encoding documentation)
+# ---------------------------------------------------------------------------
+
+def test_golden_byte_vectors():
+    # the canonical doc example: message Test1 { int32 a = 1; } with a = 150
+    assert py_field_varint(1, 150) == bytes.fromhex("089601")
+    # message Test2 { string b = 2; } with b = "testing"
+    assert py_field_string(2, "testing") == bytes.fromhex("120774657374696e67")
+    # message Test3 { Test1 c = 3; } nests the first example
+    assert py_field_len(3, py_field_varint(1, 150)) == bytes.fromhex("1a03089601")
+    # varint edges
+    assert py_varint(0) == b"\x00"
+    assert py_varint(127) == b"\x7f"
+    assert py_varint(128) == b"\x80\x01"
+    assert py_varint(2**64 - 1) == b"\xff" * 9 + b"\x01"
+    assert py_varint(-1) == b"\xff" * 9 + b"\x01"  # int64 two's complement
+    # zigzag table from the encoding spec
+    assert [py_zigzag(n) for n in (0, -1, 1, -2, 2147483647, -2147483648)] == [
+        0, 1, 2, 3, 4294967294, 4294967295,
+    ]
+
+
+def test_py_decode_roundtrip_turn():
+    reg = default_registry()
+    v = {"conv_id": "conv-7", "turn_idx": 3, "role": "user", "tool": "sql",
+         "colour": 2, "cents": -1234, "body_type": "unicorn", "horn": 0,
+         "wings": 9, "msg": "m42"}
+    d = W.py_decode(W.py_encode_turn(v), reg, "turn_wire")
+    assert d["conv_id"] == "conv-7" and d["turn_idx"] == 3
+    assert d["colour"] == "PINK"          # pb3 enum symbolization
+    assert d["cents"] == -1234            # zigzag round-trip
+    assert d["horn"] == 0                 # default-valued oneof winner KEPT
+    assert d["wings"] is None             # losing member nulled
+    assert d["_pb_oneof"] == {"body": "horn"}
+
+
+def test_py_decode_proto3_defaults_and_pb2_enums():
+    reg = default_registry()
+    raw = W.py_encode_turn({"conv_id": "c", "body_type": None})
+    d = W.py_decode(raw, reg, "turn_wire")
+    # absent scalars come back as proto3 defaults (protobuf.rb:297)
+    assert d["turn_idx"] == 0 and d["role"] == "" and d["cents"] == 0
+    assert d["colour"] == "UNDEFINED"     # enum default = code-0 name
+    assert d["horn"] is None and d["wings"] is None  # oneof: no default
+    # pb2 dialect: enum codes pass through as ints (pb2_spec.rb:96-99)
+    raw2 = W.py_encode_turn({"conv_id": "c", "colour": 3})
+    assert W.py_decode(raw2, reg, "turn_wire", proto_version=2)["colour"] == 3
+
+
+def test_py_decode_unknown_fields_and_order():
+    reg = default_registry()
+    base = W.py_encode_turn({"conv_id": "x", "turn_idx": 5})
+    # unknown varint (#14), unknown len-delim (#15), unknown fixed64 (#12),
+    # unknown fixed32 (#13) — all skipped (forward compatibility)
+    extra = (py_field_varint(14, 999)
+             + py_field_len(15, b"junk")
+             + py_tag(12, 1) + b"\x01\x02\x03\x04\x05\x06\x07\x08"
+             + py_tag(13, 5) + b"\x01\x02\x03\x04")
+    d = W.py_decode(extra + base, reg, "turn_wire")  # order-independent
+    assert d["conv_id"] == "x" and d["turn_idx"] == 5
+    # duplicate scalar: last value wins (protobuf merge rule)
+    dup = py_field_varint(2, 5) + py_field_varint(2, 7)
+    assert W.py_decode(dup, reg, "turn_wire")["turn_idx"] == 7
+    # oneof: last member seen wins, earlier member nulled
+    both = py_field_varint(8, 4) + py_field_varint(9, 6)
+    d2 = W.py_decode(both, reg, "turn_wire")
+    assert d2["horn"] is None and d2["wings"] == 6
+    assert d2["_pb_oneof"] == {"body": "wings"}
+
+
+@pytest.mark.parametrize("bad", [
+    b"\xff",                      # unterminated varint tag
+    b"\x0a\x05ab",                # length prefix beyond buffer
+    py_tag(1, 3),                 # group wire type (proto3: invalid)
+    b"\x00\x01",                  # field number 0
+    py_field_len(1, b"\xff\xfe"), # invalid utf-8 in a string field
+    b"\xff" * 11,                 # overlong varint (> 10 bytes)
+])
+def test_py_decode_malformed_raises(bad):
+    with pytest.raises(ValueError, match="wire format"):
+        W.py_decode(bad, default_registry(), "turn_wire")
+
+
+def test_nested_repeated_packed_and_map():
+    reg = default_registry()
+    # unicorn (positional numbers 1..8): name, age, fur_colour enum,
+    # repeated enum (packed), repeated int32 (packed), bool, mother message
+    mother = (py_field_string(1, "mom") + py_field_varint(3, 3))
+    raw = (py_field_string(1, "uni")
+           + py_field_varint(2, 5)
+           + py_field_len(4, py_varint(2) + py_varint(4))     # packed enums
+           + py_field_len(5, py_varint(1) + py_varint(150))   # packed ints
+           + py_field_varint(5, 7)                            # unpacked elem
+           + py_field_varint(6, 1)
+           + py_field_len(7, mother))
+    d = W.py_decode(raw, reg, "unicorn")
+    assert d["name"] == "uni" and d["age"] == 5
+    assert d["favourite_colours"] == ["PINK", "GLITTER"]
+    assert d["favourite_numbers"] == [1, 150, 7]   # packed + unpacked merge
+    assert d["is_pegasus"] is True
+    assert d["mother"]["name"] == "mom" and d["mother"]["fur_colour"] == "SILVER"
+    assert d["mother"]["mother"] is None and d["father"] is None
+    # map<string,int32> (contact.phone_numbers = field 2): entry messages
+    entry1 = py_field_string(1, "home") + py_field_varint(2, 555)
+    entry2 = py_field_string(1, "work") + py_field_varint(2, 777)
+    raw_c = (py_field_string(1, "ada")
+             + py_field_len(2, entry1) + py_field_len(2, entry2))
+    c = W.py_decode(raw_c, reg, "contact")
+    assert c["phone_numbers"] == {"home": 555, "work": 777}
+
+
+def test_uint64_above_int63_and_bytes():
+    """uint64 >= 2^63 survives decode (dnsmessage fixture range,
+    spec/codecs/pb3_decode_spec.rb:172-241); bytes fields stay raw."""
+    reg = default_registry()
+    raw = (py_field_varint(1, 2**64 - 1)
+           + py_field_len(5, b"\x00\xff\x10"))
+    d = W.py_decode(raw, reg, "dns_message")
+    assert d["id"] == 18446744073709551615
+    assert d["payload"] == b"\x00\xff\x10"
+    assert d["opcode"] == 0 and d["question"] == []
+    # Spark type mapping: uint64 -> DECIMAL(20,0), not LongType
+    dt = reg.to_struct_type("dns_message")
+    assert str(dt["id"].dataType) == "DecimalType(20,0)"
+
+
+# ---------------------------------------------------------------------------
+# SQL encoder parity: Spark expr == Python encoder == DuckDB rendering
+# ---------------------------------------------------------------------------
+
+def _flat(spark):
+    from logstash_codec_protobuf_spark.queries import _good_flat
+
+    return _good_flat(spark, SF_DIR).drop("ts", "text")
+
+
+def test_sql_encoder_matches_python(spark):
+    rows = W.encode_turn_wire(_flat(spark)).collect()
+    assert len(rows) > 900
+    for r in rows[:200]:
+        expected = W.py_encode_turn(r.asDict())
+        assert r["payload_hex"] == expected.hex(), r.asDict()
+        assert bytes(r["payload"]) == expected
+
+
+def test_sql_encoder_duckdb_parity(spark):
+    hexes = sorted(
+        r["payload_hex"] for r in W.encode_turn_wire(_flat(spark)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    duck_hex = W.turn_wire_hex(W.DUCK, W.DUCK_TURN_COLS)
+    got = sorted(
+        r[0] for r in con.execute(
+            f"WITH {TRANSCRIPTS_CTE} SELECT {duck_hex} FROM _tr_num "
+            "WHERE event_id % 37 <> 0"
+        ).fetchall()
+    )
+    assert hexes == got
+
+
+def test_decode_udf_roundtrip_and_dead_letter(spark):
+    enc = W.encode_turn_wire(_flat(spark))
+    dec = W.decode_turn_wire(enc)
+    bad = dec.filter(F.col("decoded")["error"].isNotNull())
+    assert bad.isEmpty()
+    mism = dec.filter(
+        (F.col("decoded")["conv_id"] != F.col("conv_id"))
+        | (F.col("decoded")["turn_idx"] != F.col("turn_idx"))
+        | (F.col("decoded")["cents"] != F.col("cents"))
+        | (F.col("decoded")["msg"] != F.col("msg"))
+    )
+    assert mism.isEmpty()
+    # malformed payload -> error row, original preserved (protobuf.rb:229-233)
+    corrupt = spark.createDataFrame([(bytearray(b"\xff"),)], "payload binary")
+    out = W.decode_turn_wire(corrupt).select(F.col("decoded")["error"]).first()
+    assert out[0] == W.WIRE_ERROR
