@@ -67,6 +67,14 @@ class Dialect:
     def intdiv(self, a: str, b: str) -> str:
         return f"({a} div {b})" if self.name == "spark" else f"({a} // {b})"
 
+    def bxor(self, a: str, b: str) -> str:
+        """Bitwise xor of two integer expressions."""
+        return f"({a} ^ {b})" if self.name == "spark" else f"xor({a}, {b})"
+
+    def bitcount(self, x: str) -> str:
+        """Population count of an integer expression (both engines ship it)."""
+        return f"bit_count({x})"
+
     def trunc6(self, x: str) -> str:
         """Truncate a double to 6 decimals via floor — unlike round(), floor
         semantics are identical in Spark and DuckDB (round differs on ties)."""

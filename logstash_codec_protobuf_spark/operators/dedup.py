@@ -4,16 +4,17 @@ Four tiers, cheapest to most robust, each with an exact cross-engine oracle via
 the portable expression templates (functions.portable):
 
 - exact        : md5(text) group — one shuffle on the hash, scales linearly.
-- ngram_jaccard: candidate pairs within (lang, length-band) blocks, verified by
-                 character-3-gram Jaccard. The blocking keeps the self-join from
-                 going O(n^2) globally; at 100 TB blocks are bucketed-join keys.
 - minhash LSH  : 16-permutation MinHash signature over char-4-gram shingle
                  hashes, banded 4x4; candidates = band-key join. This is the
-                 scale path: cost is O(n * bands), never pairwise, and the band
-                 join shuffles on a high-cardinality key.
+                 candidate generator: cost is O(n * bands), never pairwise, and
+                 the band join shuffles on a high-cardinality key.
+- ngram_jaccard: MinHash-LSH candidates verified by character-3-gram Jaccard —
+                 the generate-then-verify production shape. No all-pairs stage
+                 anywhere; Jaccard touches candidate pairs only.
 - simhash      : 32-bit SimHash fingerprint over the same shingle-hash basis;
                  near-dups = small hamming distance (bit_count(xor) <= r),
-                 joinable via high-bit blocking.
+                 candidates from pigeonhole banding (r+1 blocks, guaranteed
+                 recall for hamming <= r).
 
 MinHash permutation constants are fixed literals (a*H + b mod p): deterministic
 across runs and engines, coefficients < 2^17 so products stay well inside int64.
@@ -23,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.portable import DUCK, SPARK, Dialect
+from ..functions.portable import DUCK, MOD, SPARK, Dialect
 
 # 16 fixed (a, b) permutation constants — odd multipliers, distinct offsets.
 MINHASH_PERMS = [
@@ -56,41 +57,34 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 # n-gram Jaccard with (lang, length-band) blocking
 # ---------------------------------------------------------------------------
 
-def _block_cols(df: DataFrame) -> DataFrame:
-    # explicit FLOOR: Spark's double->int cast truncates but DuckDB's rounds,
-    # so a bare CAST(n_chars/50 AS INT) would band x.5 differently per engine
-    return df.withColumn("len_band", F.expr("CAST(FLOOR(n_chars / 50.0) AS INT)"))
-
-
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                         k: int = 3) -> DataFrame:
-    """Near-dup pairs by character k-gram Jaccard within blocking groups.
+    """Near-dup pairs by character k-gram Jaccard, candidates from MinHash LSH.
 
-    The blocked self-join is the explicit candidate generator; Jaccard runs
-    only inside blocks. Same-block requirement: equal lang AND equal
-    floor(n_chars/50) band (documented recall tradeoff — the principled
-    unblocked path is MinHash below).
+    The candidate generator is ``minhash_pairs`` (band-bucket equi-join,
+    O(n * bands) — never all-pairs); Jaccard is computed ONLY for candidate
+    pairs, as the precision verifier. This is the production near-dup shape:
+    recall is the LSH stage's property (P(candidate) = 1-(1-j^4)^4, > 0.99 at
+    j >= 0.9), precision is exact. The operator's contract is therefore
+    'LSH-candidate pairs with Jaccard >= t', mirrored exactly by the oracle.
     """
     d = SPARK
-    sh = _block_cols(docs).select(
-        "doc_id", "lang", "len_band",
-        F.expr(d.shingles("text", k)).alias("shingles"),
+    cand = minhash_pairs(docs)
+    sh = docs.select(
+        "doc_id", F.expr(d.shingles("text", k)).alias("shingles")
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.expr(f"size(array_intersect(a.shingles, b.shingles))")
+    a = sh.select(F.col("doc_id").alias("a_id"),
+                  F.col("shingles").alias("a_sh"))
+    b = sh.select(F.col("doc_id").alias("b_id"),
+                  F.col("shingles").alias("b_sh"))
+    inter = F.expr("size(array_intersect(a_sh, b_sh))")
     ja = inter.cast("double") / (
-        F.expr("size(a.shingles)") + F.expr("size(b.shingles)") - inter
+        F.expr("size(a_sh)") + F.expr("size(b_sh)") - inter
     )
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_band") == F.col("b.len_band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        cand.join(a, "a_id").join(b, "b_id")
         .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
+            "a_id", "b_id",
             (F.floor(ja * 1000000) / 1000000).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -100,23 +94,24 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
 def ngram_jaccard_oracle(threshold: float = 0.5, k: int = 3) -> str:
     d = DUCK
     sh = d.shingles("text", k)
+    inter = "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)"
+    ja = (f"floor({inter} / (len(a.shingles) + len(b.shingles) "
+          f"- len(list_intersect(a.shingles, b.shingles))) * 1000000) "
+          f"/ 1000000")
     return f"""
-WITH sh AS (
-  SELECT doc_id, lang, CAST(FLOOR(n_chars / 50.0) AS INTEGER) AS len_band,
-         {sh} AS shingles
-  FROM documents
-)
-SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             / (len(a.shingles) + len(b.shingles)
-                - len(list_intersect(a.shingles, b.shingles))) * 1000000)
-           / 1000000 AS jaccard
-FROM sh a JOIN sh b
-  ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
-WHERE floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))) * 1000000)
-          / 1000000 >= {threshold}
+WITH bands AS ({minhash_bands_oracle()}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+),
+sh AS (SELECT doc_id, {sh} AS shingles FROM documents)
+SELECT c.a_id, c.b_id, {ja} AS jaccard
+FROM cand c
+JOIN sh a ON a.doc_id = c.a_id
+JOIN sh b ON b.doc_id = c.b_id
+WHERE {ja} >= {threshold}
 """
 
 
@@ -193,9 +188,18 @@ FROM bands a JOIN bands b
 
 def _shingle_hashes(d: Dialect) -> str:
     """char-shingle hash basis — shared with MinHash; word-token sets saturate
-    on small-vocabulary corpora and make fingerprints degenerate."""
-    return d.amap(d.shingles("text", MINHASH_SHINGLE_K),
-                  f"s -> {d.poly_hash_str('s')}")
+    on small-vocabulary corpora and make fingerprints degenerate.
+
+    The raw poly hash of a 4-char shingle never exceeds ~2^22 (127 * (31^3 +
+    31^2 + 31 + 1)), leaving the top 9 bits permanently zero — that makes
+    SimHash's high bits degenerate (every doc lands in one high-16 block: a
+    quadratic blocking disaster) and under-mixes the MinHash permutations.
+    Two Lehmer scramble rounds (h * 48271 mod 2^31-1, the classic MINSTD
+    multiplier) spread the basis over the full 31-bit range; products stay
+    < 2^47, comfortably inside int64, identical in both engines."""
+    raw = d.amap(d.shingles("text", MINHASH_SHINGLE_K),
+                 f"s -> {d.poly_hash_str('s')}")
+    return d.amap(raw, f"h -> ((h * 48271 % {MOD}) * 48271) % {MOD}")
 
 
 def simhash(docs: DataFrame) -> DataFrame:
@@ -208,20 +212,73 @@ def simhash_oracle() -> str:
     return f"SELECT doc_id, {expr} AS simhash32 FROM documents"
 
 
+def _simhash_block_bounds(max_hamming: int) -> list[tuple[int, int]]:
+    """Pigeonhole banding: split the 32 bits into max_hamming+1 contiguous
+    blocks -> (lo_bit, width) per block. A pair with hamming <= r differs in
+    at most r bits, so at least one of the r+1 blocks is identical — blocking
+    on every block and unioning the candidate joins has GUARANTEED recall
+    (unlike single-block blocking, which misses any pair whose differing bit
+    lands inside the block)."""
+    n_blocks = max_hamming + 1
+    base, extra = divmod(32, n_blocks)
+    bounds, lo = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        bounds.append((lo, w))
+        lo += w
+    return bounds
+
+
 def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance. Candidate generation blocks
-    on the high 16 bits (documents differing only in low bits collide); exact
-    hamming verified with bit_count(xor)."""
-    sh = simhash(docs).withColumn(
-        "block", F.expr("CAST(simhash32 div 65536 AS BIGINT)")
+    """Near-dup pairs by SimHash hamming distance (bit_count(xor) <= r).
+
+    Candidates come from pigeonhole banding (see _simhash_block_bounds): each
+    doc lands in r+1 block buckets, candidate pairs share any (block_idx,
+    block_val) bucket, exact hamming verifies. Cost O(n * (r+1)) bucket rows +
+    a high-cardinality equi-join — never all-pairs. Deterministic integer
+    arithmetic end to end, so the DuckDB oracle (simhash_neardup_oracle) is
+    exact."""
+    items = ", ".join(
+        f"named_struct('block_idx', {i}, 'block_val', "
+        f"CAST(simhash32 div {1 << lo} AS BIGINT) % {1 << w})"
+        for i, (lo, w) in enumerate(_simhash_block_bounds(max_hamming))
     )
-    a, b = sh.alias("a"), sh.alias("b")
+    blk = simhash(docs).select(
+        "doc_id", "simhash32",
+        F.expr(f"explode(array({items})) AS block"),
+    ).select("doc_id", "simhash32",
+             F.col("block.block_idx").alias("block_idx"),
+             F.col("block.block_val").alias("block_val"))
+    a, b = blk.alias("a"), blk.alias("b")
     ham = F.expr("bit_count(a.simhash32 ^ b.simhash32)")
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block"))
+        a.join(b, (F.col("a.block_idx") == F.col("b.block_idx"))
+               & (F.col("a.block_val") == F.col("b.block_val"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("a_id"),
                 F.col("b.doc_id").alias("b_id"),
                 ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can match in several blocks
     )
+
+
+def simhash_neardup_oracle(max_hamming: int = 1) -> str:
+    d = DUCK
+    sim = d.simhash32(_shingle_hashes(d))
+    blocks = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash32, {i} AS block_idx, "
+        f"(simhash32 // {1 << lo}) % {1 << w} AS block_val FROM sh"
+        for i, (lo, w) in enumerate(_simhash_block_bounds(max_hamming))
+    )
+    ham = d.bitcount(d.bxor("a.simhash32", "b.simhash32"))
+    return f"""
+WITH sh AS (SELECT doc_id, {sim} AS simhash32 FROM documents),
+blk AS ({blocks})
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST({ham} AS INTEGER) AS hamming
+FROM blk a JOIN blk b
+  ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+ AND a.doc_id < b.doc_id
+WHERE {ham} <= {max_hamming}
+"""

@@ -11,8 +11,11 @@
                          neighbors). Cost O(corpus/2^planes) per query instead
                          of O(corpus). Hyperplanes are deterministic pseudo-
                          random literals, so results are reproducible.
-- ``neardup_pairs``    : label-blocked embedding near-duplicate pairs
+- ``neardup_pairs``    : LSH-bucket-blocked embedding near-duplicate pairs
                          (cosine >= threshold) — embedding-space dedup.
+                         Candidates are same-or-adjacent-bucket pairs, so
+                         block sizes are balanced by construction (no skewed
+                         label key, no O(block^2) blowup).
 """
 
 from __future__ import annotations
@@ -67,30 +70,55 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-def neardup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
-    """Embedding-space near-duplicates, blocked by label (the cheap partition
-    key); exact cosine verification inside blocks."""
+NEARDUP_PLANES = 4  # 16 buckets; candidates = same-or-adjacent (hamming<=1)
+
+
+def neardup_pairs(emb: DataFrame, threshold: float = 0.9,
+                  n_planes: int = NEARDUP_PLANES) -> DataFrame:
+    """Embedding-space near-duplicates: candidates are pairs whose hyperplane-
+    LSH buckets differ in at most one sign bit (one side probes its bucket
+    plus each 1-bit flip — symmetric, so every hamming<=1 pair is generated
+    exactly once); exact cosine verifies. The bucket is a deterministic
+    expression, so the contract 'bucket-adjacent pairs with cosine >= t' has
+    an exact DuckDB oracle. Replaces label-blocking: labels are few and
+    skewed (O(block^2) blowup), buckets are balanced by construction and the
+    plane count tunes block size independent of the data."""
     d = SPARK
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("label").alias("al"),
-                   F.col("embedding").alias("av"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("label").alias("bl"),
-                   F.col("embedding").alias("bv"))
-    cos = F.expr(d.cosine("av", "bv"))
+    bucket = F.expr(lsh_bucket_expr("embedding", n_planes))
+    h = emb.withColumn("bucket", bucket)
+    probes = "array(bucket" + "".join(
+        f", bucket ^ {1 << p}" for p in range(n_planes)
+    ) + ")"
+    a = h.select(F.col("vec_id").alias("a_id"),
+                 F.col("embedding").alias("av"),
+                 F.explode(F.expr(probes)).alias("probe"))
+    b = h.select(F.col("vec_id").alias("b_id"),
+                 F.col("embedding").alias("bv"),
+                 F.col("bucket").alias("b_bucket"))
     return (
-        a.join(b, (F.col("al") == F.col("bl")) & (F.col("a_id") < F.col("b_id")))
+        a.join(b, (F.col("probe") == F.col("b_bucket"))
+               & (F.col("a_id") < F.col("b_id")))
         .select("a_id", "b_id",
                 F.expr(d.trunc6(d.cosine("av", "bv"))).alias("score"))
         .filter(F.col("score") >= threshold)
     )
 
 
-def neardup_pairs_oracle(threshold: float = 0.9) -> str:
+def neardup_pairs_oracle(threshold: float = 0.9,
+                         n_planes: int = NEARDUP_PLANES) -> str:
     d = DUCK
+    bucket = lsh_bucket_expr("embedding", n_planes, d)
+    probes = "\nUNION ALL\n".join(
+        ["SELECT vec_id, embedding, bucket AS probe FROM hashed"]
+        + [f"SELECT vec_id, embedding, {d.bxor('bucket', str(1 << p))} FROM hashed"
+           for p in range(n_planes)]
+    )
     cos = d.cosine("a.embedding", "b.embedding")
     return f"""
+WITH hashed AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+probes AS ({probes})
 SELECT a.vec_id AS a_id, b.vec_id AS b_id, {d.trunc6(cos)} AS score
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
+FROM probes a JOIN hashed b ON a.probe = b.bucket AND a.vec_id < b.vec_id
 WHERE {d.trunc6(cos)} >= {threshold}
 """
 
@@ -111,12 +139,14 @@ def _hyperplanes(n_planes: int, dim: int = DIM) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket_expr(vec_col: str, n_planes: int = 6) -> str:
-    """Bucket id = sign-bit signature against fixed hyperplanes."""
-    d = SPARK
+def lsh_bucket_expr(vec_col: str, n_planes: int = 6,
+                    d: "Dialect" = SPARK) -> str:
+    """Bucket id = sign-bit signature against fixed hyperplanes (renders in
+    either dialect — the hyperplanes are deterministic literals)."""
     terms = []
     for p, plane in enumerate(_hyperplanes(n_planes)):
-        lit = "array(" + ", ".join(f"CAST({v} AS DOUBLE)" for v in plane) + ")"
+        body = ", ".join(f"CAST({v} AS DOUBLE)" for v in plane)
+        lit = f"array({body})" if d.name == "spark" else f"[{body}]"
         dot = d.dot(vec_col, lit)
         terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
@@ -159,3 +189,42 @@ def lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
         .select("query_id", "neighbor_id",
                 F.expr(SPARK.trunc6("score")).alias("score"), "rank")
     )
+
+
+def lsh_topk_oracle(n_queries: int = 8, k: int = 5, n_planes: int = 4,
+                    multiprobe: bool = True) -> str:
+    """Exact DuckDB rendering of lsh_topk: the hyperplanes, bucket signature,
+    probe set, and tie-break ordering are all deterministic, so even this
+    'approximate' operator gets a full rows+schema+hash oracle."""
+    d = DUCK
+    bucket = lsh_bucket_expr("embedding", n_planes, d)
+    probe_selects = ["SELECT query_id, qv, bucket AS probe FROM q"]
+    if multiprobe:
+        probe_selects += [
+            f"SELECT query_id, qv, {d.bxor('bucket', str(1 << p))} FROM q"
+            for p in range(n_planes)
+        ]
+    probes = "\nUNION ALL\n".join(probe_selects)
+    cos = d.cosine("p.qv", "c.embedding")
+    return f"""
+WITH hashed AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket
+  FROM hashed WHERE vec_id < {n_queries}
+),
+probes AS ({probes}),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, {cos} AS score
+  FROM probes p JOIN hashed c ON p.probe = c.bucket
+  WHERE p.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS INTEGER)
+             AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, {d.trunc6("score")} AS score, rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -596,7 +596,8 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ngram_jaccard_pairs", DD.ngram_jaccard_oracle(threshold=0.5))
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-3-gram Jaccard near-dup pairs, (lang, length-band) blocked."""
+    """Character-3-gram Jaccard near-dup pairs; candidates generated by
+    MinHash LSH (O(n*bands)), Jaccard as the precision verifier."""
     return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
@@ -619,12 +620,12 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(_docs(spark, sf_dir))
 
 
+@query("simhash_neardup", DD.simhash_neardup_oracle(max_hamming=1))
 def simhash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming-distance near-dups (Spark-only: block+bit_count)."""
+    """SimHash hamming<=1 near-dups via pigeonhole banding (2 blocks of 16
+    bits — any 1-bit-different pair shares a block, so recall is guaranteed)
+    + exact bit_count(xor) verification."""
     return DD.simhash_neardup_pairs(_docs(spark, sf_dir))
-
-
-_QUERIES["simhash_neardup"] = simhash_neardup_q  # rows-only check (non-SQL op)
 
 
 @query("ann_cosine_topk", SIM.cosine_topk_oracle())
@@ -635,18 +636,18 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("embedding_neardup", SIM.neardup_pairs_oracle(threshold=0.3))
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-blocked embedding-cosine near-duplicate pairs."""
+    """LSH-bucket-blocked embedding-cosine near-duplicate pairs (candidates =
+    same-or-adjacent hyperplane buckets; exact cosine verifies)."""
     return SIM.neardup_pairs(load_table(spark, sf_dir, "embeddings"),
                              threshold=0.3)
 
 
+@query("ann_lsh_topk", SIM.lsh_topk_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k (Spark-only scale path; recall vs
-    brute force asserted in tests)."""
+    """Hyperplane-LSH approximate top-k — deterministic hyperplanes + probe
+    set make even the approximate path fully oracle-checkable; recall vs
+    brute force additionally asserted in tests."""
     return SIM.lsh_topk(load_table(spark, sf_dir, "embeddings"))
-
-
-_QUERIES["ann_lsh_topk"] = ann_lsh_topk  # rows-only check (approximate op)
 
 
 @query("multimodal_features", MM.features_oracle())

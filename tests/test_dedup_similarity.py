@@ -70,6 +70,59 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     assert recall >= 0.4, f"LSH recall too low: {recall}"
 
 
+def test_simhash_neardup_pigeonhole_recall_exact(spark):
+    """Pigeonhole banding must find EVERY hamming<=1 pair — compare against
+    brute-force all-pairs hamming over the materialized fingerprints."""
+    docs = _docs(spark)
+    sh = {r["doc_id"]: r["simhash32"] for r in DD.simhash(docs).collect()}
+    ids = sorted(sh)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(sh[a] ^ sh[b]).count("1") <= 1
+    }
+    got = {(r["a_id"], r["b_id"])
+           for r in DD.simhash_neardup_pairs(docs, max_hamming=1).collect()}
+    assert got == expected
+
+
+def test_candidate_generators_are_efficient(spark):
+    """Scale guard: generate-then-verify must prune the comparison space.
+
+    A bucket CAN legitimately hold a whole true-duplicate cluster (those
+    comparisons are the answer, not waste), so the invariant is generator
+    efficiency, not an absolute bucket cap: candidate pairs must be a small
+    fraction of all-pairs AND within a constant factor of the verified pairs
+    they feed. A regression to label/degenerate blocking blows both bounds."""
+    docs = _docs(spark)
+    n = docs.count()
+    all_pairs = n * (n - 1) // 2
+
+    cand = DD.minhash_pairs(docs).count()
+    verified = DD.ngram_jaccard_pairs(docs, threshold=0.5).count()
+    assert cand <= 0.10 * all_pairs, f"minhash candidates {cand} ~ all-pairs"
+    assert cand <= 3 * verified + n, f"minhash precision too low: {cand} cand / {verified} true"
+
+    # simhash pigeonhole blocks must be balanced (the degenerate high-16 case
+    # put 88% of the corpus in ONE block before the basis scramble)
+    sim_blocks = (
+        DD.simhash(docs)
+        .selectExpr("CAST(simhash32 div 65536 AS BIGINT) AS hi",
+                    "simhash32 % 65536 AS lo")
+    )
+    hi_max = sim_blocks.groupBy("hi").count().agg(F.max("count")).first()[0]
+    lo_max = sim_blocks.groupBy("lo").count().agg(F.max("count")).first()[0]
+    assert max(hi_max, lo_max) <= max(25, int(n * 0.05))
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    bucket = F.expr(SIM.lsh_bucket_expr("embedding", SIM.NEARDUP_PLANES))
+    b_max = (emb.select(bucket.alias("b")).groupBy("b").count()
+             .agg(F.max("count")).first()[0])
+    n_emb = emb.count()
+    # 16 buckets over random signs: expect ~n/16, allow 4x headroom
+    assert b_max <= max(25, n_emb // 4), f"lsh bucket {b_max} too large"
+
+
 def test_multimodal_batch_plumbing(spark):
     """mapInPandas feature extraction: schema, row conservation, determinism."""
     media = MM.with_binary_payload(_docs(spark))

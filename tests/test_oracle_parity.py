@@ -18,11 +18,9 @@ def test_query_matches_oracle(spark, name):
     assert_parity(df, Q.all_oracles()[name], SF_DIR)
 
 
-# ops that are deliberately non-SQL-expressible (approximate / bit-twiddling);
-# the driver records a weaker rows-only check for these
-NO_ORACLE_OK = {"ann_lsh_topk", "simhash_neardup"}
-
-
-def test_every_query_has_oracle_or_is_flagged():
+def test_every_query_has_oracle():
+    """Every registered query is fully oracle-checked — the approximate ops
+    (LSH top-k, simhash banding) are deterministic by construction, so even
+    they render exact DuckDB twins."""
     missing = set(Q.all_queries()) - set(Q.all_oracles())
-    assert missing <= NO_ORACLE_OK, f"queries without oracle: {missing}"
+    assert not missing, f"queries without oracle: {missing}"
