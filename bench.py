@@ -107,12 +107,63 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], int]:
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
+    # hot-key window comparison: the planted conv-hot (~30% of rows) flows
+    # through Window.partitionBy(conv_id) — naive pays one task's sort for
+    # 30% of the data; segmented bounds every sort at seg_size rows. At bench
+    # SF the naive sort still fits one task easily, so the headline here is
+    # "segmented costs little when small"; the 100x argument is structural
+    # (see sessionize_segmented docstring) and the equivalence is tested.
+    def session_run(segmented: bool):
+        def run():
+            return _consume(agg.session_stats(tr, segmented=segmented))
+        return run
+
+    # training-data ops over the documents/embeddings tables so perf
+    # regressions in the dedup/ANN tier are visible per round
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def dedup_run():
+        from logstash_codec_protobuf_spark.operators import dedup as DD
+        return _consume(DD.ngram_jaccard_pairs(docs, threshold=0.5))
+
+    def simhash_run():
+        from logstash_codec_protobuf_spark.operators import dedup as DD
+        return _consume(DD.simhash_neardup_pairs(docs))
+
+    def ann_run():
+        from logstash_codec_protobuf_spark.operators import similarity as SIM
+        return _consume(SIM.lsh_topk(emb))
+
+    def embdup_run():
+        from logstash_codec_protobuf_spark.operators import similarity as SIM
+        return _consume(SIM.neardup_pairs(emb, threshold=0.3))
+
+    def pb_wire_run():
+        from logstash_codec_protobuf_spark.operators import pb_wire as PW
+        good, _ = split_dead_letter(parse_turns(tr, impl="native"))
+        p = F.col("parsed")
+        flat = good.select(
+            *[p[c].alias(c) for c in ("conv_id", "turn_idx", "role", "tool",
+                                      "colour", "cents", "body_type", "horn",
+                                      "wings", "msg")]
+        )
+        dec = PW.decode_turn_wire(PW.encode_turn_wire(flat))
+        return _consume(dec.filter(F.col("decoded")["error"].isNull()))
+
     cases = {
         "parse_route_native": routed_counts("native"),
         "parse_route_arrow": routed_counts("arrow"),
         "conv_stats_salted": conv_stats_run,
         "hourly_stats": hourly_run,
         "encode_roundtrip": encode_run,
+        "pb_wire_roundtrip": pb_wire_run,
+        "session_stats_naive_window": session_run(False),
+        "session_stats_segmented": session_run(True),
+        "dedup_jaccard_lsh": dedup_run,
+        "simhash_neardup": simhash_run,
+        "ann_lsh_topk": ann_run,
+        "embedding_neardup": embdup_run,
         "e2e_fanout_write": e2e_run,
     }
     # warm the JVM/codegen/python-worker pools so case timings measure the

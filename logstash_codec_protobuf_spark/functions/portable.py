@@ -140,14 +140,18 @@ class Dialect:
 
     def simhash32(self, hashes: str) -> str:
         """32-bit SimHash over distinct token hashes: bit b set iff more token
-        hashes have bit b set than clear (unweighted variant)."""
+        hashes have bit b set than clear (unweighted variant). Each bit's vote
+        is a fold-sum (no per-bit array allocation — the filter-then-length
+        form materializes 32 temporary arrays per row). ``hashes`` should be a
+        COLUMN reference, not an inline expression: it is referenced ~64x."""
         terms = []
         for b in range(32):
-            has_bit = self.afilter(
-                hashes, f"h -> {self.intdiv('h', str(1 << b))} % 2 = 1"
+            cnt = self.fold(
+                hashes, "CAST(0 AS BIGINT)",
+                f"(acc, h) -> acc + {self.intdiv('h', str(1 << b))} % 2",
             )
             terms.append(
-                f"(CASE WHEN 2 * {self.alen(has_bit)} > {self.alen(hashes)} "
+                f"(CASE WHEN 2 * ({cnt}) > {self.alen(hashes)} "
                 f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
             )
         return "(" + " + ".join(terms) + ")"

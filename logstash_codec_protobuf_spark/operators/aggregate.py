@@ -94,9 +94,80 @@ def sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
     return df.withColumn("session_seq", seq.cast("int"))
 
 
-def session_stats(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Per-(conversation, session) stats over the sessionized frame."""
-    s = sessionize(df, gap_minutes)
+def sessionize_segmented(df: DataFrame, gap_minutes: int = 30,
+                         seg_size: int = 1024) -> DataFrame:
+    """Result-identical to ``sessionize`` without the hot-key sort wall.
+
+    ``Window.partitionBy(conv_id)`` puts EVERY row of a conversation through
+    one task's sort — the planted hot conversation (~30% of rows,
+    sources/transcripts.py) makes that a single-task bottleneck at scale.
+    Sessionization is a running sum of gap flags, i.e. a prefix sum — so it
+    decomposes like a parallel scan:
+
+    1. split each conversation into contiguous ``seg_size``-turn segments
+       (floor((turn_idx-1)/seg_size)); window per (conv_id, segment) computes
+       within-segment gap flags + running counts — the hot key now spreads
+       over n/seg_size tasks with bounded sort size;
+    2. per-segment summaries (head/tail timestamp, flag count) — one row per
+       segment, a seg_size-fold reduction;
+    3. a window over the summaries per conversation resolves each segment
+       head's flag (gap vs previous segment's tail) and the cumulative
+       session offset — same shape one level up, on 1/seg_size of the rows
+       (recurse with a larger seg_size if even that is too hot);
+    4. co-partitioned join of offsets back onto (conv_id, segment).
+
+    Exactness: session_seq(row) = offset(segment) + within-segment running
+    flag count, where offset = all flags in earlier segments + this segment
+    head's own flag. Verified row-identical to ``sessionize`` in tests and by
+    the session_stats oracle."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = df.withColumn(
+        "_seg", F.floor((F.col("turn_idx") - 1) / seg_size)
+    ).withColumn("_us", us)
+    w = Window.partitionBy("conv_id", "_seg").orderBy("turn_idx")
+    lag_us = F.lag("_us").over(w)
+    flag = F.when(
+        lag_us.isNotNull() & ((F.col("_us") - lag_us) > gap_us), 1
+    ).otherwise(0)
+    d = d.withColumn("_flag", flag).withColumn(
+        "_run",
+        F.sum("_flag").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    segs = d.groupBy("conv_id", "_seg").agg(
+        F.min_by("_us", "turn_idx").alias("_head_us"),
+        F.max_by("_us", "turn_idx").alias("_tail_us"),
+        F.sum("_flag").alias("_n_within"),
+    )
+    ws = Window.partitionBy("conv_id").orderBy("_seg")
+    prev_tail = F.lag("_tail_us").over(ws)
+    head_flag = F.when(
+        prev_tail.isNotNull() & ((F.col("_head_us") - prev_tail) > gap_us), 1
+    ).otherwise(0)
+    segs = segs.withColumn("_head_flag", head_flag)
+    cum_before = F.sum(F.col("_n_within") + F.col("_head_flag")).over(
+        ws.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = segs.select(
+        "conv_id", "_seg",
+        (F.coalesce(cum_before, F.lit(0)) + F.col("_head_flag"))
+        .alias("_offset"),
+    )
+    return (
+        d.join(offsets, ["conv_id", "_seg"])
+        .withColumn("session_seq",
+                    (F.col("_run") + F.col("_offset")).cast("int"))
+        .drop("_seg", "_us", "_flag", "_run", "_offset")
+    )
+
+
+def session_stats(df: DataFrame, gap_minutes: int = 30,
+                  segmented: bool = True) -> DataFrame:
+    """Per-(conversation, session) stats over the sessionized frame. Uses the
+    segment-and-merge sessionizer by default (hot-conversation safe); pass
+    ``segmented=False`` for the naive single-window plan (bench comparison)."""
+    s = (sessionize_segmented(df, gap_minutes) if segmented
+         else sessionize(df, gap_minutes))
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     return s.groupBy("conv_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_turns"),

@@ -72,7 +72,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     cand = minhash_pairs(docs)
     sh = docs.select(
         "doc_id", F.expr(d.shingles("text", k)).alias("shingles")
-    )
+    ).persist()  # probed twice (a- and b-side of the candidate join)
     a = sh.select(F.col("doc_id").alias("a_id"),
                   F.col("shingles").alias("a_sh"))
     b = sh.select(F.col("doc_id").alias("b_id"),
@@ -122,18 +122,30 @@ WHERE {ja} >= {threshold}
 MINHASH_SHINGLE_K = 4  # char shingles discriminate where word-sets saturate
 
 
-def _sig_exprs(d: Dialect) -> list[str]:
-    return [d.minhash_term(_shingle_hashes(d), a, b) for a, b in MINHASH_PERMS]
+def _sig_exprs(d: Dialect, basis: str = "_hb") -> list[str]:
+    """Permutation minima over a PRE-COMPUTED hash-basis column. Interpolating
+    the full shingle-hash expression into each of the 16 permutations would
+    recompute the (expensive) hashing 16x per row — the two-stage projection
+    (basis column first, fingerprints over the column) is the difference
+    between O(hash) and O(16 * hash) per document."""
+    return [d.minhash_term(basis, a, b) for a, b in MINHASH_PERMS]
 
 
-def _band_exprs(d: Dialect) -> list[str]:
-    sigs = _sig_exprs(d)
+def _band_exprs(d: Dialect, basis: str = "_hb") -> list[str]:
+    sigs = _sig_exprs(d, basis)
     bands = []
     for bi in range(N_BANDS):
         parts = sigs[bi * ROWS_PER_BAND:(bi + 1) * ROWS_PER_BAND]
         joined = " || '_' || ".join(f"CAST({p} AS STRING)" for p in parts)
         bands.append(joined)
     return bands
+
+
+def _hash_basis(docs: DataFrame) -> DataFrame:
+    """(doc_id, _hb): the shingle-hash array, computed exactly once per doc."""
+    return docs.select(
+        "doc_id", F.expr(_shingle_hashes(SPARK)).alias("_hb")
+    )
 
 
 def minhash_bands(docs: DataFrame) -> DataFrame:
@@ -144,24 +156,29 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
         f"named_struct('band_idx', {i}, 'band_key', {b})"
         for i, b in enumerate(bands)
     )
-    return docs.select(
+    return _hash_basis(docs).select(
         "doc_id", F.expr(f"explode(array({struct_items})) AS band")
     ).select("doc_id", F.col("band.band_idx").alias("band_idx"),
              F.col("band.band_key").alias("band_key"))
 
 
 def minhash_bands_oracle() -> str:
-    bands = _band_exprs(DUCK)
+    d = DUCK
+    bands = _band_exprs(d)
     selects = [
-        f"SELECT doc_id, {i} AS band_idx, {b} AS band_key FROM documents"
+        f"SELECT doc_id, {i} AS band_idx, {b} AS band_key FROM _hb_basis"
         for i, b in enumerate(bands)
     ]
-    return "\nUNION ALL\n".join(selects)
+    basis = f"SELECT doc_id, {_shingle_hashes(d)} AS _hb FROM documents"
+    return (f"WITH _hb_basis AS ({basis})\n"
+            + "\nUNION ALL\n".join(selects))
 
 
 def minhash_pairs(docs: DataFrame) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket."""
-    bands = minhash_bands(docs)
+    """Candidate near-dup pairs: docs sharing any LSH band bucket. The band
+    frame is persisted — both self-join sides would otherwise recompute the
+    16-permutation signatures."""
+    bands = minhash_bands(docs).persist()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -203,13 +220,19 @@ def _shingle_hashes(d: Dialect) -> str:
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    expr = SPARK.simhash32(_shingle_hashes(SPARK))
-    return docs.select("doc_id", F.expr(expr).alias("simhash32"))
+    """Two-stage projection: hash basis column first, then the 32-bit vote
+    over the column — the vote references the basis ~64 times, so inlining
+    the hashing expression would recompute it per bit term."""
+    return _hash_basis(docs).select(
+        "doc_id", F.expr(SPARK.simhash32("_hb")).alias("simhash32")
+    )
 
 
 def simhash_oracle() -> str:
-    expr = DUCK.simhash32(_shingle_hashes(DUCK))
-    return f"SELECT doc_id, {expr} AS simhash32 FROM documents"
+    d = DUCK
+    return (f"WITH _hb_basis AS (SELECT doc_id, {_shingle_hashes(d)} AS _hb "
+            f"FROM documents)\n"
+            f"SELECT doc_id, {d.simhash32('_hb')} AS simhash32 FROM _hb_basis")
 
 
 def _simhash_block_bounds(max_hamming: int) -> list[tuple[int, int]]:
@@ -243,7 +266,11 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
         f"CAST(simhash32 div {1 << lo} AS BIGINT) % {1 << w})"
         for i, (lo, w) in enumerate(_simhash_block_bounds(max_hamming))
     )
-    blk = simhash(docs).select(
+    # materialize fingerprints before the self-join: without persist, BOTH
+    # join sides recompute the (expensive) 32-bit vote over every shingle —
+    # measured 26x slower. At warehouse scale this persist is a fingerprint
+    # table write; here Spark's cache serves the same plan role.
+    blk = simhash(docs).persist().select(
         "doc_id", "simhash32",
         F.expr(f"explode(array({items})) AS block"),
     ).select("doc_id", "simhash32",
@@ -265,7 +292,6 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
 
 def simhash_neardup_oracle(max_hamming: int = 1) -> str:
     d = DUCK
-    sim = d.simhash32(_shingle_hashes(d))
     blocks = "\nUNION ALL\n".join(
         f"SELECT doc_id, simhash32, {i} AS block_idx, "
         f"(simhash32 // {1 << lo}) % {1 << w} AS block_val FROM sh"
@@ -273,7 +299,8 @@ def simhash_neardup_oracle(max_hamming: int = 1) -> str:
     )
     ham = d.bitcount(d.bxor("a.simhash32", "b.simhash32"))
     return f"""
-WITH sh AS (SELECT doc_id, {sim} AS simhash32 FROM documents),
+WITH _hb_basis AS (SELECT doc_id, {_shingle_hashes(d)} AS _hb FROM documents),
+sh AS (SELECT doc_id, {d.simhash32('_hb')} AS simhash32 FROM _hb_basis),
 blk AS ({blocks})
 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
        CAST({ham} AS INTEGER) AS hamming

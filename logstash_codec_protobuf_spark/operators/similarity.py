@@ -85,7 +85,9 @@ def neardup_pairs(emb: DataFrame, threshold: float = 0.9,
     plane count tunes block size independent of the data."""
     d = SPARK
     bucket = F.expr(lsh_bucket_expr("embedding", n_planes))
-    h = emb.withColumn("bucket", bucket)
+    # persist: the bucketed frame feeds both join sides (probe fan-out and
+    # corpus); without it each side re-evaluates n_planes 64-d dot products
+    h = emb.withColumn("bucket", bucket).persist()
     probes = "array(bucket" + "".join(
         f", bucket ^ {1 << p}" for p in range(n_planes)
     ) + ")"
@@ -164,7 +166,7 @@ def lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
     """
     d = SPARK
     bucket = F.expr(lsh_bucket_expr("embedding", n_planes))
-    hashed = emb.withColumn("bucket", bucket)
+    hashed = emb.withColumn("bucket", bucket).persist()
     q = hashed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
         F.col("bucket"),

@@ -37,6 +37,23 @@ def test_hot_conversation_exists(spark):
     assert top["count"] / total > 0.25
 
 
+def test_segmented_sessionize_equals_naive(spark):
+    """Segment-and-merge sessionization must be row-identical to the naive
+    single-window plan — tiny seg_size forces many segment boundaries (the
+    merge path), including boundaries that do and don't start sessions."""
+    tr = transcripts_df(spark, SF_DIR)
+    naive = agg.sessionize(tr, gap_minutes=30).select(
+        "conv_id", "turn_idx", "session_seq"
+    )
+    for seg_size in (7, 1024):
+        seg = agg.sessionize_segmented(
+            tr, gap_minutes=30, seg_size=seg_size
+        ).select("conv_id", "turn_idx", "session_seq")
+        assert naive.exceptAll(seg).isEmpty() and seg.exceptAll(naive).isEmpty(), (
+            f"seg_size={seg_size} diverges from naive sessionize"
+        )
+
+
 def test_turn_rank_is_total_and_stable(spark):
     """Stable (conv_id, turn_idx) ordering: rank == turn_idx for every row."""
     tr = transcripts_df(spark, SF_DIR)
