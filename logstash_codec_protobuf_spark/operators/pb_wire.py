@@ -360,31 +360,124 @@ _TURN_FIELDS = ["conv_id", "turn_idx", "role", "tool", "colour", "cents",
                 "horn", "wings", "msg"]
 
 
-@F.pandas_udf(TURN_WIRE_DECODED)
-def _decode_turn_wire_udf(payload: pd.Series) -> pd.DataFrame:
-    """One registry build per batch; pure-Python parse per payload inside the
-    Arrow batch (variable-length binary parse has no columnar form — this is
-    the from_protobuf seam)."""
-    registry = default_registry()
-    rows = []
-    for buf in payload:
-        if buf is None:
-            rows.append({"error": WIRE_ERROR})
-            continue
-        try:
-            d = py_decode(bytes(buf), registry, "turn_wire")
-            row = {k: d[k] for k in _TURN_FIELDS}
-            row["oneof_body"] = d["_pb_oneof"].get("body")
-            row["error"] = None
-            rows.append(row)
-        except ValueError:
-            rows.append({"error": WIRE_ERROR})
-    out = pd.DataFrame(rows, columns=[f.name for f in TURN_WIRE_DECODED])
-    for c in ("turn_idx", "cents", "horn", "wings"):
-        out[c] = out[c].astype("Int64")
-    return out
+# pb2 dialect: enum codes pass through as ints (protobuf.rb:134-136,
+# spec/codecs/pb2_spec.rb:96-99) — same struct, colour is a LONG.
+TURN_WIRE_DECODED_PB2 = T.StructType([
+    T.StructField(f.name, T.LongType() if f.name == "colour" else f.dataType)
+    for f in TURN_WIRE_DECODED
+])
 
 
-def decode_turn_wire(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """BinaryType payload -> ``decoded`` struct column (1:1 projection)."""
-    return df.withColumn("decoded", _decode_turn_wire_udf(F.col(payload_col)))
+def _make_decode_udf(registry: SchemaRegistry, proto_version: int = 3):
+    """Build the Arrow-batch decode UDF around a specific registry. The
+    registry (frozen dataclasses + dicts) is captured in the closure and
+    pickled to each executor ONCE — no per-batch rebuild, and the same UDF
+    works for a registry loaded from a schema file on disk
+    (schema.load_schema_file) as for the built-in one."""
+    schema = TURN_WIRE_DECODED if proto_version == 3 else TURN_WIRE_DECODED_PB2
+
+    @F.pandas_udf(schema)
+    def _decode(payload: pd.Series) -> pd.DataFrame:
+        rows = []
+        for buf in payload:
+            if buf is None:
+                rows.append({"error": WIRE_ERROR})
+                continue
+            try:
+                d = py_decode(bytes(buf), registry, "turn_wire",
+                              proto_version=proto_version)
+                row = {k: d[k] for k in _TURN_FIELDS}
+                row["oneof_body"] = d["_pb_oneof"].get("body")
+                row["error"] = None
+                rows.append(row)
+            except ValueError:
+                rows.append({"error": WIRE_ERROR})
+        out = pd.DataFrame(rows, columns=[f.name for f in schema])
+        int_cols = ["turn_idx", "cents", "horn", "wings"]
+        if proto_version == 2:
+            int_cols.append("colour")
+        for c in int_cols:
+            out[c] = out[c].astype("Int64")
+        return out
+
+    return _decode
+
+
+def decode_turn_wire(df: DataFrame, payload_col: str = "payload",
+                     registry: SchemaRegistry | None = None,
+                     proto_version: int = 3) -> DataFrame:
+    """BinaryType payload -> ``decoded`` struct column (1:1 projection).
+    Pass ``registry`` to decode with schema specs loaded from disk;
+    ``proto_version=2`` keeps enum codes as ints (pb2 dialect)."""
+    udf = _make_decode_udf(registry if registry is not None
+                           else default_registry(), proto_version)
+    return df.withColumn("decoded", udf(F.col(payload_col)))
+
+
+# ---------------------------------------------------------------------------
+# dns_message: uint64 above int64 range + bytes columns on the wire
+# (spec/helpers/pb3/dnsmessage_pb.rb:8-18; spec/codecs/pb3_decode_spec.rb:172-241)
+# ---------------------------------------------------------------------------
+
+DNS_DECODED = T.StructType([
+    T.StructField("id", T.DecimalType(20, 0)),      # uint64: full 2^64 range
+    T.StructField("response_code", T.LongType()),   # uint32
+    T.StructField("payload", T.BinaryType()),       # bytes stay raw
+    T.StructField("error", T.StringType()),
+])
+
+
+@F.pandas_udf(T.BinaryType())
+def _encode_dns_udf(id_dec: pd.Series, response_code: pd.Series,
+                    payload: pd.Series) -> pd.Series:
+    """dns_message wire bytes. Python ints are unbounded, so uint64 varints
+    above 2^63 encode exactly (the SQL-expression encoder is int64-bound —
+    this is the documented seam where unsigned-64 leaves Column arithmetic)."""
+    from ..functions.wire import py_field_len, py_field_varint
+
+    out = []
+    for i, rc, p in zip(id_dec, response_code, payload):
+        buf = py_field_varint(1, int(i))
+        if int(rc):
+            buf += py_field_varint(2, int(rc))
+        if p is not None and len(p):
+            buf += py_field_len(5, bytes(p))
+        out.append(buf)
+    return pd.Series(out)
+
+
+def _make_dns_decode_udf(registry: SchemaRegistry):
+    @F.pandas_udf(DNS_DECODED)
+    def _decode(payload: pd.Series) -> pd.DataFrame:
+        rows = []
+        for buf in payload:
+            try:
+                d = py_decode(bytes(buf), registry, "dns_message")
+                rows.append({
+                    "id": Decimal(d["id"]),
+                    "response_code": d["response_code"],
+                    "payload": d["payload"],
+                    "error": None,
+                })
+            except (ValueError, TypeError):
+                rows.append({"error": WIRE_ERROR})
+        out = pd.DataFrame(rows, columns=[f.name for f in DNS_DECODED])
+        out["response_code"] = out["response_code"].astype("Int64")
+        return out
+
+    return _decode
+
+
+def dns_roundtrip(df: DataFrame, registry: SchemaRegistry | None = None
+                  ) -> DataFrame:
+    """Encode (id_dec, response_code, payload_bin) columns as dns_message wire
+    bytes and decode them back -> ``decoded`` struct. Exercises uint64 values
+    >= 2^63 (DECIMAL(20,0) end to end — LongType would corrupt them) and raw
+    BinaryType round-tripping."""
+    reg = registry if registry is not None else default_registry()
+    enc = df.withColumn(
+        "payload",
+        _encode_dns_udf(F.col("id_dec"), F.col("response_code"),
+                        F.col("payload_bin")),
+    )
+    return enc.withColumn("decoded", _make_dns_decode_udf(reg)(F.col("payload")))

@@ -493,6 +493,247 @@ def pb_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PB_WIRE_DECODE_ORACLE = _oracle(
+    """
+SELECT 'conv-' || conv_key AS conv_id, turn_idx, role, tool,
+       e.name AS colour, cents,
+       CASE WHEN oneof_kind = 'unicorn' THEN horn END AS horn,
+       CASE WHEN oneof_kind = 'pegasus' THEN wings END AS wings,
+       'm' || CAST(event_id AS STRING) AS msg,
+       CASE WHEN oneof_kind = 'unicorn' THEN 'horn' ELSE 'wings' END
+           AS oneof_body
+FROM _tr_num t
+LEFT JOIN enums e ON e.enum_class = 'Colour' AND e.code = t.colour
+WHERE event_id % 37 <> 0
+"""
+)
+
+
+@query("pb_schema_file_decode", _PB_WIRE_DECODE_ORACLE)
+def pb_schema_file_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same wire decode as pb_wire_decode, but the registry is loaded FROM A
+    SCHEMA FILE ON DISK (schema.load_schema_file + register_codec — the
+    reference's load_protobuf_definition path, protobuf.rb:781-802). Proves
+    the file->registry->executor pipeline end to end."""
+    import os
+
+    from .schema import register_codec
+
+    spec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "schemas", "turn_wire.json")
+    reg = register_codec("turn_wire", class_file=spec)
+    enc_df = PW.encode_turn_wire(_good_flat(spark, sf_dir))
+    dec = PW.decode_turn_wire(enc_df, registry=reg)
+    d = F.col("decoded")
+    return dec.select(
+        d["conv_id"].alias("conv_id"), d["turn_idx"].alias("turn_idx"),
+        d["role"].alias("role"), d["tool"].alias("tool"),
+        d["colour"].alias("colour"), d["cents"].alias("cents"),
+        d["horn"].alias("horn"), d["wings"].alias("wings"),
+        d["msg"].alias("msg"), d["oneof_body"].alias("oneof_body"),
+    )
+
+
+@query(
+    "pb2_wire_roundtrip",
+    _oracle(
+        """
+SELECT 'conv-' || conv_key AS conv_id, turn_idx,
+       CAST(colour AS BIGINT) AS colour_code,
+       epoch_us(ts) AS ts_us, TRUE AS bytes_match
+FROM _tr_num WHERE event_id % 37 <> 0
+"""
+    ),
+)
+def pb2_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pb2 dialect end to end (spec/codecs/pb2_spec.rb:109-203): decode keeps
+    enum CODES as ints (no symbolization), `@`-prefixed keys are stripped
+    before encoding (protobuf.rb:623,651), and re-encoding the decoded record
+    reproduces the wire bytes exactly — no enum-name mapping needed on the
+    way back because pb2 never left integer space."""
+    from .operators.normalize import strip_at_keys
+
+    flat = _good_flat(spark, sf_dir).withColumnRenamed("ts", "@timestamp")
+    flat = strip_at_keys(flat)  # '@timestamp' -> 'timestamp'
+    enc_df = PW.encode_turn_wire(flat)
+    dec = PW.decode_turn_wire(enc_df, proto_version=2)
+    d = F.col("decoded")
+    again = dec.select(
+        F.col("payload_hex").alias("orig_hex"),
+        F.col("timestamp"),
+        d["conv_id"].alias("conv_id"), d["turn_idx"].alias("turn_idx"),
+        d["role"].alias("role"), d["tool"].alias("tool"),
+        d["colour"].alias("colour"), d["cents"].alias("cents"),
+        F.when(d["oneof_body"] == "horn", F.lit("unicorn"))
+         .when(d["oneof_body"] == "wings", F.lit("pegasus"))
+         .alias("body_type"),
+        d["horn"].alias("horn"), d["wings"].alias("wings"),
+        d["msg"].alias("msg"),
+    )
+    re_enc = PW.encode_turn_wire(again, binary=False)
+    return re_enc.select(
+        "conv_id", "turn_idx",
+        F.col("colour").alias("colour_code"),
+        F.unix_micros(F.col("timestamp").cast("timestamp")).alias("ts_us"),
+        (F.col("payload_hex") == F.col("orig_hex")).alias("bytes_match"),
+    )
+
+
+@query(
+    "pb_wire_uint64_bytes",
+    """
+SELECT event_id,
+       CAST(CAST('9223372036854775808' AS DECIMAL(20,0)) + event_id
+            AS DECIMAL(20,0)) AS id,
+       CAST(event_id % 100 AS BIGINT) AS response_code,
+       substring(md5(CAST(event_id AS STRING)), 1, 16) AS payload_hex
+FROM events
+""",
+)
+def pb_wire_uint64_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uint64 above int64 range + raw bytes through REAL wire bytes
+    (dnsmessage fixture, spec/codecs/pb3_decode_spec.rb:172-241): every id is
+    >= 2^63, so any LongType leak corrupts it — DECIMAL(20,0) carries the
+    full unsigned range through encode, varint decode, and the result."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("CAST('9223372036854775808' AS DECIMAL(20,0)) + event_id")
+        .cast("decimal(20,0)").alias("id_dec"),
+        (F.col("event_id") % 100).cast("bigint").alias("response_code"),
+        F.unhex(F.substring(F.md5(F.col("event_id").cast("string")), 1, 16))
+        .alias("payload_bin"),
+    )
+    out = PW.dns_roundtrip(ev)
+    d = F.col("decoded")
+    return out.select(
+        "event_id",
+        d["id"].alias("id"),
+        d["response_code"].alias("response_code"),
+        F.lower(F.hex(d["payload"])).alias("payload_hex"),
+    )
+
+
+# --------------------------------------------------------------------------
+# oneof breadth: 3-option group + arrays-of-oneofs with per-element metainfo
+# (spec/codecs/pb3_decode_spec.rb:496-546, 586-639)
+# --------------------------------------------------------------------------
+
+@query(
+    "oneof_three_option",
+    """
+SELECT event_id,
+       CASE WHEN event_id % 3 = 0 THEN CAST(event_id % 1000 AS INTEGER) END
+           AS phone,
+       CASE WHEN event_id % 3 = 1 THEN 'u' || CAST(user_id AS STRING) END
+           AS email,
+       CASE WHEN event_id % 3 = 2 THEN CAST(event_id % 5 AS INTEGER) END
+           AS pigeon,
+       CASE CAST(event_id % 3 AS INTEGER)
+            WHEN 0 THEN 'phone' WHEN 1 THEN 'email' ELSE 'pigeon' END
+           AS chosen
+FROM events
+""",
+)
+def oneof_three_option(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-option oneof XOR-clean + metainfo (the PhoneDirectory prefered_contact
+    shape, pb3_decode_spec.rb:496-546): losers nulled, the winner kept even at
+    its default value (pigeon=0 rows), the choice exposed via metadata."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 1000).cast("int").alias("phone"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("email"),
+        (F.col("event_id") % 5).cast("int").alias("pigeon"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("phone"))
+         .when(F.col("event_id") % 3 == 1, F.lit("email"))
+         .otherwise(F.lit("pigeon")).alias("contact_type"),
+    )
+    cleaned = oneof_clean(
+        ev, "contact_type",
+        {"phone": "phone", "email": "email", "pigeon": "pigeon"},
+        group="contact",
+    )
+    return cleaned.select(
+        "event_id", "phone", "email", "pigeon",
+        F.col("_meta")["pb_oneof"]["contact"].alias("chosen"),
+    )
+
+
+@query(
+    "oneof_array_elements",
+    """
+SELECT event_id, 0 AS elem_idx,
+       CASE WHEN event_id % 3 = 0 THEN CAST(event_id % 100 AS INTEGER) END
+           AS phone,
+       CASE WHEN event_id % 3 = 1 THEN 'e' || CAST(user_id AS STRING) END
+           AS email,
+       CASE WHEN event_id % 3 = 2 THEN CAST(event_id % 4 AS INTEGER) END
+           AS pigeon,
+       CASE CAST(event_id % 3 AS INTEGER)
+            WHEN 0 THEN 'phone' WHEN 1 THEN 'email' ELSE 'pigeon' END
+           AS chosen
+FROM events
+UNION ALL
+SELECT event_id, 1 AS elem_idx,
+       CASE WHEN event_id % 2 <> 0 THEN CAST(event_id % 50 AS INTEGER) END
+           AS phone,
+       CAST(NULL AS STRING) AS email,
+       CASE WHEN event_id % 2 = 0 THEN CAST(event_id % 5 AS INTEGER) END
+           AS pigeon,
+       CASE WHEN event_id % 2 = 0 THEN 'pigeon' ELSE 'phone' END AS chosen
+FROM events
+""",
+)
+def oneof_array_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrays of oneof-bearing structs: per-element XOR-clean + per-element
+    chosen-option metadata ([@metadata][pb_oneof][contacts[i]],
+    pb3_decode_spec.rb:586-639). Elements are cleaned INSIDE the array (struct
+    rebuild via transform), then exploded with position so each element pairs
+    with its own metainfo entry."""
+    from .operators.normalize import (
+        oneof_clean_elements, oneof_meta_per_element,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    e0 = F.struct(
+        (F.col("event_id") % 100).cast("int").alias("phone"),
+        F.concat(F.lit("e"), F.col("user_id").cast("string")).alias("email"),
+        (F.col("event_id") % 4).cast("int").alias("pigeon"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("phone"))
+         .when(F.col("event_id") % 3 == 1, F.lit("email"))
+         .otherwise(F.lit("pigeon")).alias("prefered"),
+    )
+    e1 = F.struct(
+        (F.col("event_id") % 50).cast("int").alias("phone"),
+        F.lit("never").alias("email"),
+        (F.col("event_id") % 5).cast("int").alias("pigeon"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("pigeon"))
+         .otherwise(F.lit("phone")).alias("prefered"),
+    )
+    arr = F.array(e0, e1)
+    cleaned = oneof_clean_elements(
+        arr, fields=["phone", "email", "pigeon", "prefered"],
+        discriminator_field="prefered",
+        options={"phone": "phone", "email": "email", "pigeon": "pigeon"},
+    )
+    metas = oneof_meta_per_element(cleaned, "prefered")
+    base = ev.select(
+        "event_id", cleaned.alias("contacts"), metas.alias("contact_meta")
+    )
+    exploded = base.select(
+        "event_id", "contact_meta",
+        F.posexplode(F.col("contacts")).alias("elem_idx", "c"),
+    )
+    return exploded.select(
+        "event_id",
+        F.col("elem_idx").cast("int").alias("elem_idx"),
+        F.col("c")["phone"].alias("phone"),
+        F.col("c")["email"].alias("email"),
+        F.col("c")["pigeon"].alias("pigeon"),
+        F.element_at(F.col("contact_meta"), F.col("elem_idx") + 1)
+        .alias("chosen"),
+    )
+
+
 # --------------------------------------------------------------------------
 # google.protobuf.Struct / JSON decode (protobuf.rb:290-294)
 # --------------------------------------------------------------------------

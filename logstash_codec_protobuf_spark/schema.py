@@ -371,3 +371,80 @@ def default_registry() -> SchemaRegistry:
     )
     reg.validate("turn_payload")
     return reg
+
+
+# ---------------------------------------------------------------------------
+# file-based schema ingestion (load_protobuf_definition, protobuf.rb:781-802)
+# ---------------------------------------------------------------------------
+
+def load_schema_file(path: str, registry: SchemaRegistry | None = None
+                     ) -> SchemaRegistry:
+    """Load message/enum specs from a JSON schema file into a registry.
+
+    The Spark-first twin of ``load_protobuf_definition`` +
+    ``pb3_metadata_analyis`` (protobuf.rb:690-802): the reference regex-scans
+    a compiled ``_pb.rb`` descriptor; here the on-disk format is declarative
+    JSON (the role a compiled FileDescriptorSet plays for spark-protobuf)::
+
+        {"enums":    {"Colour": {"0": "UNDEFINED", ...}},
+         "messages": {"turn_wire": {"fields": [
+             {"name": "conv_id", "type": "string", "number": 1},
+             {"name": "horn", "type": "int32", "oneof": "body", "number": 8},
+             ...]}}}
+
+    Error behavior mirrors the reference: a non-spec extension is rejected
+    ('Not a ruby file', protobuf.rb:799), an unreadable/definition-free file
+    raises 'Invalid protobuf file' (Error 4, protobuf.rb:712-714)."""
+    import json
+
+    reg = registry if registry is not None else SchemaRegistry()
+    if not path.endswith(".json"):
+        raise SchemaRegistryError(f"Not a schema spec file: {path}")
+    try:
+        with open(path) as f:
+            spec = json.load(f)
+    except (OSError, json.JSONDecodeError) as e:
+        raise SchemaRegistryError(f"Invalid protobuf file: {path} ({e})") from e
+    messages = spec.get("messages") or {}
+    if not messages:
+        raise SchemaRegistryError(
+            f"Invalid protobuf file: {path} (no message definitions found)"
+        )
+    for name, values in (spec.get("enums") or {}).items():
+        reg.register_enum(EnumSpec(name, {int(k): v for k, v in values.items()}))
+    for name, m in messages.items():
+        reg.register_message(MessageSpec(name, tuple(
+            FieldSpec(f["name"], f["type"],
+                      repeated=bool(f.get("repeated", False)),
+                      oneof=f.get("oneof"), number=f.get("number"))
+            for f in m["fields"]
+        )))
+    return reg
+
+
+def register_codec(class_name: str, class_file: str | None = None,
+                   include_path: list[str] | None = None,
+                   registry: SchemaRegistry | None = None) -> SchemaRegistry:
+    """Config-validated registry construction — the reference plugin's
+    ``register`` (protobuf.rb:164-199) with its ConfigurationError cases
+    (spec/codecs/pb3_decode_spec.rb:38-62):
+
+    - `include_path` and `class_file` together -> error (mutually exclusive),
+    - neither -> error (one is required),
+    - re-registering the same valid configuration -> idempotent no-op
+      (SchemaRegistry.register_* already tolerates identical re-registration).
+    """
+    if class_file and include_path:
+        raise SchemaRegistryError(
+            "Use only one of `include_path` and `class_file`; they are "
+            "mutually exclusive"
+        )
+    if not class_file and not include_path:
+        raise SchemaRegistryError(
+            "Need either `include_path` or `class_file` to load the schema"
+        )
+    reg = registry if registry is not None else SchemaRegistry()
+    for p in ([class_file] if class_file else list(include_path)):
+        load_schema_file(p, reg)
+    reg.validate(class_name)
+    return reg

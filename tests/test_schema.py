@@ -69,3 +69,76 @@ def test_repeated_and_map_types():
     assert reg.spark_type("map<string,int32>") == T.MapType(
         T.StringType(), T.IntegerType()
     )
+
+
+# ---------------------------------------------------------------------------
+# file-based schema ingestion + config validation
+# (load_protobuf_definition, protobuf.rb:781-802; spec/codecs/pb3_decode_spec.rb:38-62)
+# ---------------------------------------------------------------------------
+
+import json
+import os
+
+import pytest
+
+from logstash_codec_protobuf_spark.schema import (
+    SchemaRegistryError, load_schema_file, register_codec,
+)
+
+SPEC_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "logstash_codec_protobuf_spark", "schemas", "turn_wire.json",
+)
+
+
+def test_load_schema_file_builds_registry():
+    reg = load_schema_file(SPEC_PATH)
+    assert "turn_wire" in reg.messages and "Colour" in reg.enums
+    spec = reg.messages["turn_wire"]
+    assert spec.wire_fields()[0] == (1, spec.fields[0])
+    assert spec.oneof_groups() == {"body": ["horn", "wings"]}
+    # the file-loaded registry must agree with the built-in one
+    from logstash_codec_protobuf_spark.schema import default_registry
+    assert reg.messages["turn_wire"] == default_registry().messages["turn_wire"]
+
+
+def test_register_codec_rejects_both_sources():
+    """`include_path` and `class_file` are mutually exclusive
+    (pb3_decode_spec.rb:39-51)."""
+    with pytest.raises(SchemaRegistryError, match="`include_path` and `class_file`"):
+        register_codec("turn_wire", class_file=SPEC_PATH,
+                       include_path=[SPEC_PATH])
+
+
+def test_register_codec_requires_a_source():
+    """One of `include_path` or `class_file` is required
+    (pb3_decode_spec.rb:53-61)."""
+    with pytest.raises(SchemaRegistryError, match="`include_path` or `class_file`"):
+        register_codec("turn_wire")
+
+
+def test_register_codec_idempotent_reregistration():
+    """Re-registering a valid configuration is a no-op
+    (pb3_decode_spec.rb:64-76)."""
+    reg = register_codec("turn_wire", class_file=SPEC_PATH)
+    again = register_codec("turn_wire", class_file=SPEC_PATH, registry=reg)
+    assert again is reg and "turn_wire" in reg.messages
+
+
+def test_register_codec_unknown_root_message():
+    with pytest.raises(SchemaRegistryError, match="not registered"):
+        register_codec("no_such_message", class_file=SPEC_PATH)
+
+
+def test_load_schema_file_invalid_inputs(tmp_path):
+    """Error 4 mirror: wrong extension, unreadable JSON, no messages."""
+    with pytest.raises(SchemaRegistryError, match="Not a schema spec file"):
+        load_schema_file(str(tmp_path / "x.rb"))
+    bad = tmp_path / "bad.json"
+    bad.write_text("{ not json")
+    with pytest.raises(SchemaRegistryError, match="Invalid protobuf file"):
+        load_schema_file(str(bad))
+    empty = tmp_path / "empty.json"
+    empty.write_text(json.dumps({"enums": {"E": {"0": "A"}}}))
+    with pytest.raises(SchemaRegistryError, match="Invalid protobuf file"):
+        load_schema_file(str(empty))
