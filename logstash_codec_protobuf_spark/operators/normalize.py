@@ -128,11 +128,21 @@ def strip_at_keys(df: DataFrame) -> DataFrame:
 
 
 def decode_json_struct(col: Column, value_type: str = "string") -> Column:
-    """google.protobuf.Struct (free-form JSON) -> map column
-    (protobuf.rb:290-294; spec/codecs/pb3_decode_spec.rb:454-466)."""
+    """google.protobuf.Struct (free-form JSON) -> map column — the FLAT
+    homogeneous case (protobuf.rb:290-294; spec/codecs/pb3_decode_spec.rb:454-466).
+    For arbitrary nesting use ``decode_json_variant``."""
     return F.from_json(col, T.MapType(T.StringType(), {
         "string": T.StringType(), "int": T.IntegerType(), "bigint": T.LongType(),
         "double": T.DoubleType()}[value_type]))
+
+
+def decode_json_variant(col: Column) -> Column:
+    """google.protobuf.Struct with ARBITRARY nesting (protobuf.rb:290-294
+    parses any JSON shape): free-form JSON -> VARIANT. Spark 4's VARIANT is
+    the engine-native answer to schemaless payloads — binary-encoded, no
+    schema declaration, path extraction via ``F.try_variant_get`` stays
+    JVM-side (no UDF) and predicate pushdown on extracted paths works."""
+    return F.parse_json(col)
 
 
 def add_tag(tags: Column, tag: str) -> Column:

@@ -755,6 +755,50 @@ def json_struct_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", F.element_at(m, "k").alias("k_value"))
 
 
+@query(
+    "json_variant_nested",
+    """
+WITH j AS (
+  SELECT event_id,
+         '{"outer":' || props || ',"arr":[' || CAST(event_id % 3 AS STRING)
+             || ',7],"label":"L' || CAST(event_id % 4 AS STRING) || '"}'
+             AS nested
+  FROM events
+)
+SELECT event_id,
+       CAST(json_extract_string(nested, '$.outer.k') AS BIGINT) AS k_value,
+       CAST(json_extract_string(nested, '$.arr[0]') AS INTEGER) AS arr0,
+       CAST(json_extract_string(nested, '$.arr[1]') AS INTEGER) AS arr1,
+       json_extract_string(nested, '$.label') AS label,
+       json_extract_string(nested, '$.missing') AS missing
+FROM j
+""",
+)
+def json_variant_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """google.protobuf.Struct with arbitrary NESTING (protobuf.rb:290-294
+    handles any JSON shape, not just flat maps): decode to VARIANT and
+    path-extract nested objects, array elements, and absent keys — all
+    JVM-side, no UDF, no schema declaration."""
+    from .operators.normalize import decode_json_variant
+
+    ev = load_table(spark, sf_dir, "events")
+    nested = F.concat(
+        F.lit('{"outer":'), F.col("props"),
+        F.lit(',"arr":['), (F.col("event_id") % 3).cast("string"),
+        F.lit(',7],"label":"L'), (F.col("event_id") % 4).cast("string"),
+        F.lit('"}'),
+    )
+    v = decode_json_variant(nested)
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.outer.k", "bigint").alias("k_value"),
+        F.try_variant_get(v, "$.arr[0]", "int").alias("arr0"),
+        F.try_variant_get(v, "$.arr[1]", "int").alias("arr1"),
+        F.try_variant_get(v, "$.label", "string").alias("label"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing"),
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline ops: text analysis / dedup / similarity / multimodal
 # --------------------------------------------------------------------------
