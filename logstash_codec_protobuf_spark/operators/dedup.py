@@ -72,18 +72,28 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     cand = minhash_pairs(docs)
     sh = docs.select(
         "doc_id", F.expr(d.shingles("text", k)).alias("shingles")
+    ).select(
+        "doc_id", "shingles", F.size("shingles").alias("n_sh")
     ).persist()  # probed twice (a- and b-side of the candidate join)
     a = sh.select(F.col("doc_id").alias("a_id"),
-                  F.col("shingles").alias("a_sh"))
+                  F.col("shingles").alias("a_sh"), F.col("n_sh").alias("a_n"))
     b = sh.select(F.col("doc_id").alias("b_id"),
-                  F.col("shingles").alias("b_sh"))
-    inter = F.expr("size(array_intersect(a_sh, b_sh))")
-    ja = inter.cast("double") / (
-        F.expr("size(a_sh)") + F.expr("size(b_sh)") - inter
+                  F.col("shingles").alias("b_sh"), F.col("n_sh").alias("b_n"))
+    # materialize the intersection size per candidate pair BEFORE the
+    # threshold filter — pushdown would re-substitute the array_intersect
+    # into the filter and compute it twice per pair
+    inters = (
+        cand.join(a, "a_id").join(b, "b_id")
+        .select("a_id", "b_id",
+                F.expr("size(array_intersect(a_sh, b_sh))").alias("n_int"),
+                "a_n", "b_n")
+        .persist()
+    )
+    ja = F.col("n_int").cast("double") / (
+        F.col("a_n") + F.col("b_n") - F.col("n_int")
     )
     return (
-        cand.join(a, "a_id").join(b, "b_id")
-        .select(
+        inters.select(
             "a_id", "b_id",
             (F.floor(ja * 1000000) / 1000000).alias("jaccard"),
         )

@@ -118,28 +118,50 @@ def _typed_varint(v: int, ftype: str, registry: SchemaRegistry,
     return _varint_value(v, ftype)
 
 
+def _decode_plan(registry: SchemaRegistry, message: str, proto_version: int
+                 ) -> tuple[dict, dict]:
+    """(field_number->spec, defaults template) for one message. Built once per
+    (registry, message) and cached on the registry object — rebuilding the
+    number map and the proto3 defaults per PAYLOAD dominated the Arrow-batch
+    decode cost (string-prefix checks + enum lookups per row)."""
+    cache = getattr(registry, "_wire_plans", None)
+    if cache is None:
+        cache = {}
+        registry._wire_plans = cache  # SchemaRegistry is a plain class
+    key = (message, proto_version)
+    if key in cache:
+        return cache[key]
+    from ..schema import _SCALAR_DEFAULTS
+
+    spec = registry.messages[message]
+    by_num = dict(spec.wire_fields())
+    template: dict = {}
+    for f in spec.fields:
+        if f.repeated or f.type.startswith("map<"):
+            template[f.name] = list if f.repeated else dict  # sentinel ctor
+        elif f.oneof or f.type.startswith("message:"):
+            template[f.name] = None
+        elif f.type.startswith("enum:"):
+            enum = registry.enums[f.type[5:]]
+            template[f.name] = enum.default_name if proto_version == 3 else 0
+        else:
+            template[f.name] = _SCALAR_DEFAULTS[f.type]
+    cache[key] = (by_num, template)
+    return cache[key]
+
+
 def py_decode(buf: bytes, registry: SchemaRegistry, message: str,
               proto_version: int = 3, depth: int = 4) -> dict:
     """bytes -> dict per the registered message spec (pb3_to_hash semantics,
     protobuf.rb:287-336). Raises ValueError(WIRE_ERROR) on malformed input."""
     if depth <= 0:
         raise ValueError(WIRE_ERROR)
-    spec = registry.messages[message]
-    by_num = {num: f for num, f in spec.wire_fields()}
+    by_num, template = _decode_plan(registry, message, proto_version)
 
-    # proto3 default emission for absent scalars (protobuf.rb:297)
-    out: dict = {}
-    for f in spec.fields:
-        if f.repeated or f.type.startswith("map<"):
-            out[f.name] = [] if f.repeated else {}
-        elif f.oneof or f.type.startswith("message:"):
-            out[f.name] = None
-        elif f.type.startswith("enum:"):
-            enum = registry.enums[f.type[5:]]
-            out[f.name] = enum.default_name if proto_version == 3 else 0
-        else:
-            from ..schema import _SCALAR_DEFAULTS
-            out[f.name] = _SCALAR_DEFAULTS[f.type]
+    # proto3 default emission for absent scalars (protobuf.rb:297); list/dict
+    # sentinels instantiate fresh containers per row
+    out = {k: (v() if v is list or v is dict else v)
+           for k, v in template.items()}
     chosen: dict[str, str] = {}  # oneof group -> chosen member field
 
     pos = 0
@@ -378,21 +400,24 @@ def _make_decode_udf(registry: SchemaRegistry, proto_version: int = 3):
 
     @F.pandas_udf(schema)
     def _decode(payload: pd.Series) -> pd.DataFrame:
-        rows = []
+        names = [f.name for f in schema]
+        cols: dict[str, list] = {n: [] for n in names}
         for buf in payload:
             if buf is None:
-                rows.append({"error": WIRE_ERROR})
+                for n in names:
+                    cols[n].append(None if n != "error" else WIRE_ERROR)
                 continue
             try:
                 d = py_decode(bytes(buf), registry, "turn_wire",
                               proto_version=proto_version)
-                row = {k: d[k] for k in _TURN_FIELDS}
-                row["oneof_body"] = d["_pb_oneof"].get("body")
-                row["error"] = None
-                rows.append(row)
+                for k in _TURN_FIELDS:
+                    cols[k].append(d[k])
+                cols["oneof_body"].append(d["_pb_oneof"].get("body"))
+                cols["error"].append(None)
             except ValueError:
-                rows.append({"error": WIRE_ERROR})
-        out = pd.DataFrame(rows, columns=[f.name for f in schema])
+                for n in names:
+                    cols[n].append(None if n != "error" else WIRE_ERROR)
+        out = pd.DataFrame(cols, columns=names)
         int_cols = ["turn_idx", "cents", "horn", "wings"]
         if proto_version == 2:
             int_cols.append("colour")

@@ -86,22 +86,38 @@ def neardup_pairs(emb: DataFrame, threshold: float = 0.9,
     d = SPARK
     bucket = F.expr(lsh_bucket_expr("embedding", n_planes))
     # persist: the bucketed frame feeds both join sides (probe fan-out and
-    # corpus); without it each side re-evaluates n_planes 64-d dot products
-    h = emb.withColumn("bucket", bucket).persist()
+    # corpus); without it each side re-evaluates n_planes 64-d dot products.
+    # The norm is precomputed per VECTOR (n values) so the per-PAIR work is
+    # one dot product instead of three: cosine = dot/(nrm_a*nrm_b) is the
+    # identical IEEE expression tree the oracle folds, just factored.
+    h = (emb.withColumn("bucket", bucket)
+         .withColumn("nrm", F.expr(f"sqrt({d.dot('embedding', 'embedding')})"))
+         .persist())
     probes = "array(bucket" + "".join(
         f", bucket ^ {1 << p}" for p in range(n_planes)
     ) + ")"
     a = h.select(F.col("vec_id").alias("a_id"),
                  F.col("embedding").alias("av"),
+                 F.col("nrm").alias("a_nrm"),
                  F.explode(F.expr(probes)).alias("probe"))
     b = h.select(F.col("vec_id").alias("b_id"),
                  F.col("embedding").alias("bv"),
+                 F.col("nrm").alias("b_nrm"),
                  F.col("bucket").alias("b_bucket"))
-    return (
+    # materialize the dot product per candidate pair BEFORE the threshold
+    # filter: predicate pushdown would otherwise substitute the aliased fold
+    # back into the filter and evaluate the 64-term dot twice per pair
+    pairs = (
         a.join(b, (F.col("probe") == F.col("b_bucket"))
                & (F.col("a_id") < F.col("b_id")))
         .select("a_id", "b_id",
-                F.expr(d.trunc6(d.cosine("av", "bv"))).alias("score"))
+                F.expr(d.dot("av", "bv")).alias("dp"),
+                "a_nrm", "b_nrm")
+        .persist()
+    )
+    score = F.expr(d.trunc6("dp / (a_nrm * b_nrm)"))
+    return (
+        pairs.select("a_id", "b_id", score.alias("score"))
         .filter(F.col("score") >= threshold)
     )
 
