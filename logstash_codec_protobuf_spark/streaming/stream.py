@@ -62,6 +62,75 @@ def streaming_windowed_counts(routed: DataFrame, window: str = "1 hour",
     )
 
 
+SESSION_OUT_SCHEMA = "conv_id string, turn_idx int, session_seq int"
+SESSION_STATE_SCHEMA = "last_us long, seq int"
+
+
+def make_session_updater(gap_minutes: int = 30):
+    """State-update function for streaming sessionization — factored out so
+    tests can drive multi-batch state continuation directly.
+
+    State per conversation: (timestamp of last seen turn, current session
+    sequence). Each incoming chunk is processed in turn order; a gap larger
+    than the threshold bumps the sequence. Exactly the batch ``sessionize``
+    recurrence, carried across micro-batches by the state store."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        last_us, seq = state.get if state.exists else (None, 0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("turn_idx")
+            seqs = []
+            for us in pdf["_us"]:
+                us = int(us)
+                if last_us is not None and us - last_us > gap_us:
+                    seq += 1
+                seqs.append(seq)
+                last_us = us
+            out.append(pd.DataFrame({
+                "conv_id": key[0],
+                "turn_idx": pdf["turn_idx"].astype("int32"),
+                "session_seq": pd.Series(seqs, dtype="int32",
+                                         index=pdf.index),
+            }))
+        state.update((last_us, seq))
+        yield from out
+
+    return update
+
+
+def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization over an unbounded
+    stream via ``applyInPandasWithState`` (SURVEY.md §2.10 — the codec itself
+    is stateless; this is the north-star per-conversation session operator in
+    its streaming form). State is one (last_ts, seq) pair per conversation —
+    O(#conversations), not O(#rows); at cluster scale the state store
+    partitions by conv_id exactly like the batch shuffle."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    d = stream.withColumn(
+        "_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    ).select("conv_id", "turn_idx", "_us")
+    return d.groupBy("conv_id").applyInPandasWithState(
+        make_session_updater(gap_minutes),
+        SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_wire_decode(stream: DataFrame, payload_col: str = "payload",
+                          registry=None) -> DataFrame:
+    """Wire-format decode over an unbounded stream: the Arrow-batch decode UDF
+    is a stateless 1:1 projection, so it composes with readStream unchanged —
+    the streaming twin of the codec's Kafka seat (protobuf.rb:30-43)."""
+    from ..operators.pb_wire import decode_turn_wire
+
+    return decode_turn_wire(stream, payload_col, registry)
+
+
 def run_stream_to_sinks(spark: SparkSession, source_dir: str, out_dir: str,
                         cfg: CodecConfig | None = None):
     """Continuous fan-out: routed rows land partitioned by sink with streaming

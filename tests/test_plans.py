@@ -75,3 +75,46 @@ def test_salted_agg_partial_before_shuffle(spark, tr):
     )
     plan = _executed(agg.conv_stats_salted(good))
     assert "partial_" in plan  # HashAggregate(partial) present
+
+
+def test_wire_encode_is_pure_columnar(spark, tr):
+    """The wire ENCODER must stay entirely JVM-side: no Python eval node of
+    any kind — the payload hex is built by expressions fused into the scan."""
+    from logstash_codec_protobuf_spark.operators import pb_wire as PW
+    from logstash_codec_protobuf_spark.operators.parse import split_dead_letter
+
+    good, _ = split_dead_letter(parse_turns(tr))
+    p = F.col("parsed")
+    flat = good.select(*[p[c].alias(c) for c in (
+        "conv_id", "turn_idx", "role", "tool", "colour", "cents",
+        "body_type", "horn", "wings", "msg")])
+    plan = _executed(PW.encode_turn_wire(flat))
+    assert "EvalPython" not in plan, plan[:500]  # no Batch/ArrowEvalPython
+
+
+def test_wire_decode_is_arrow_batched(spark, tr):
+    """The wire DECODER is the sanctioned Python seam — exactly one
+    ArrowEvalPython (vectorized batch exchange), never row-at-a-time
+    BatchEvalPython."""
+    from logstash_codec_protobuf_spark.operators import pb_wire as PW
+    from logstash_codec_protobuf_spark.operators.parse import split_dead_letter
+
+    good, _ = split_dead_letter(parse_turns(tr))
+    p = F.col("parsed")
+    flat = good.select(*[p[c].alias(c) for c in (
+        "conv_id", "turn_idx", "role", "tool", "colour", "cents",
+        "body_type", "horn", "wings", "msg")])
+    plan = _executed(PW.decode_turn_wire(PW.encode_turn_wire(flat)))
+    assert plan.count("ArrowEvalPython") == 1, plan[:500]
+    assert "BatchEvalPython" not in plan
+
+
+def test_segmented_sessionize_windows_on_segment_key(spark, tr):
+    """The per-row windows of the segmented sessionizer must partition on
+    (conv_id, segment) — partitioning on conv_id alone would reintroduce the
+    hot-conversation single-task sort."""
+    from logstash_codec_protobuf_spark.operators import aggregate as agg
+
+    plan = _executed(agg.sessionize_segmented(tr))
+    assert re.search(r"Window .*partitionBy.*_seg|hashpartitioning\(conv_id[^)]*_seg",
+                     plan), plan[:1000]

@@ -90,3 +90,118 @@ def test_windowed_counts_under_watermark(spark, tmp_path):
     for key, n in got_map.items():
         assert expected.get(key) == n, f"window {key}: {n} != {expected.get(key)}"
     assert len(got_map) >= len(expected) - 3  # tail windows may stay open
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization must reproduce the batch
+    sessionizer exactly when the stream drains in event order."""
+    from logstash_codec_protobuf_spark.operators import aggregate as agg
+    from logstash_codec_protobuf_spark.streaming.stream import sessionize_stream
+
+    src = str(tmp_path / "sess_src")
+    tr = transcripts_df(spark, SF_DIR)
+    # one file in turn order: the file-source batch then delivers in-order
+    tr.orderBy("conv_id", "turn_idx").coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    stream = read_transcript_stream(spark, src)
+    q = (
+        sessionize_stream(stream).writeStream.format("memory")
+        .queryName("sess_stream").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["conv_id"], r["turn_idx"]): r["session_seq"]
+           for r in spark.sql("SELECT * FROM sess_stream").collect()}
+    expected = {(r["conv_id"], r["turn_idx"]): r["session_seq"]
+                for r in agg.sessionize(tr).select(
+                    "conv_id", "turn_idx", "session_seq").collect()}
+    assert got == expected
+
+
+def test_session_state_carries_across_chunks():
+    """Multi-micro-batch continuation: feeding the updater in two chunks must
+    equal feeding it all rows at once (state carries last_ts + seq)."""
+    import pandas as pd
+
+    from logstash_codec_protobuf_spark.streaming.stream import (
+        make_session_updater,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    MIN = 60 * 1_000_000
+    # gaps: 10m (same), 40m (new), 5m (same), 90m (new) -> seqs 0,0,1,1,2
+    us = [0, 10 * MIN, 50 * MIN, 55 * MIN, 145 * MIN]
+    rows = pd.DataFrame({"turn_idx": range(1, 6), "_us": us})
+
+    def run(chunks):
+        st = FakeState()
+        fn = make_session_updater(gap_minutes=30)
+        out = []
+        for chunk in chunks:
+            out.extend(
+                df for df in fn(("conv-x",), iter([chunk]), st)
+            )
+        return list(pd.concat(out)["session_seq"])
+
+    whole = run([rows])
+    split = run([rows.iloc[:2], rows.iloc[2:]])
+    assert whole == [0, 0, 1, 1, 2]
+    assert split == whole
+
+
+def test_streaming_wire_decode_matches_batch(spark, tmp_path):
+    """The wire decode UDF over readStream must produce the batch decode."""
+    from pyspark.sql import functions as F
+
+    from logstash_codec_protobuf_spark.operators import pb_wire as PW
+    from logstash_codec_protobuf_spark.operators.parse import (
+        parse_turns, split_dead_letter,
+    )
+    from logstash_codec_protobuf_spark.streaming.stream import (
+        streaming_wire_decode,
+    )
+
+    good, _ = split_dead_letter(parse_turns(transcripts_df(spark, SF_DIR)))
+    p = F.col("parsed")
+    flat = good.select(*[p[c].alias(c) for c in (
+        "conv_id", "turn_idx", "role", "tool", "colour", "cents",
+        "body_type", "horn", "wings", "msg")])
+    enc = PW.encode_turn_wire(flat).select("payload")
+    src = str(tmp_path / "wire_src")
+    enc.write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream.schema("payload binary")
+              .option("maxFilesPerTrigger", "4").parquet(src))
+    dec = streaming_wire_decode(stream).select("decoded.*")
+    q = (
+        dec.writeStream.format("memory").queryName("wire_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wire"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["colour"], r["cents"], r["msg"])
+        for r in spark.sql("SELECT * FROM wire_stream").collect()
+    )
+    expected = sorted(
+        (r["conv_id"], r["turn_idx"], r["colour"], r["cents"], r["msg"])
+        for r in PW.decode_turn_wire(spark.read.parquet(src))
+        .select("decoded.*").collect()
+    )
+    assert got == expected and len(got) > 900
