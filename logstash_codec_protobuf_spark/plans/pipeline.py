@@ -106,6 +106,22 @@ def run_pipeline(
                 raise RuntimeError("simulated kill")
             t0 = time.time()
             wave_df = routed_all.filter(F.col("_bucket").isin(wave))
+            # per-(bucket, sink) counts via the observe API: collected DURING
+            # the write action, no post-write read-back (which doubled the
+            # write-path IO at scale). Spark's file commit protocol stages
+            # task output and commits atomically with the action, so on a
+            # successful write the observed counts ARE the landed rows; a
+            # failed action raises before the manifest entry commits. The
+            # metric set is bounded: wave_size buckets x |cfg.sinks|.
+            from pyspark.sql import Observation
+
+            obs = Observation(f"wave_{wi}")
+            metric_exprs = [
+                F.count_if((F.col("_bucket") == b) & (F.col("sink") == s))
+                .alias(f"c_{b}_{s}")
+                for b in wave for s in cfg.sinks
+            ]
+            wave_df = wave_df.observe(obs, *metric_exprs)
             # explicit pre-write repartition on (bucket, sink, small salt):
             # every (bucket, sink) output dir receives at most write_salt
             # files (vs one file per task without the grouping), while the
@@ -117,26 +133,11 @@ def run_pipeline(
                 .write.mode("append").partitionBy("_bucket", "sink")
                 .parquet(data_dir)
             )
-            # per-bucket metrics from what landed (durable truth, not
-            # plan-side counts); read only this wave's bucket directories.
-            # A bucket no conversation hashes into never creates a directory
-            # — legitimately empty, recorded as zero rows.
-            import os as _os
-
-            wave_paths = [p for p in
-                          (f"{data_dir}/_bucket={b}" for b in wave)
-                          if _os.path.isdir(p)]
-            landed = []
-            if wave_paths:
-                landed = (
-                    spark.read.option("basePath", data_dir)
-                    .parquet(*wave_paths)
-                    .groupBy("_bucket", "sink").count().collect()
-                )
+            got = obs.get  # available once the write action completed
             dt = time.time() - t0
             for b in wave:
-                sinks = {r["sink"]: r["count"] for r in landed
-                         if r["_bucket"] == b}
+                sinks = {s: int(got[f"c_{b}_{s}"]) for s in cfg.sinks
+                         if got[f"c_{b}_{s}"]}
                 manifest.complete(b, {
                     "sinks": sinks,
                     "rows": int(sum(sinks.values())),

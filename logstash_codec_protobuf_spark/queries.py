@@ -1141,6 +1141,61 @@ def tpch_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tpch_q5_local_supply",
+    """
+SELECT n.n_name AS nation,
+       SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+                AS BIGINT)) AS revenue_c,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND s.s_nationkey = c.c_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+""",
+)
+def tpch_q5_local_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier revenue by nation): a 6-table join
+    exercising the planner's join strategy — region/nation/supplier broadcast
+    (small dims), the lineitem-orders-customer chain shuffles on its keys,
+    date filter pushed to the orders scan. Revenue summed in integer cents
+    (identical double expression tree in both engines before the floor)."""
+    ln = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    rev = F.expr(
+        "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"
+    )
+    joined = (
+        ln.join(o, ln["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), ln["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(asia_nations),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(rev).alias("revenue_c"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -121,6 +121,20 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: drop repeated payloads within the watermark
+    horizon (`dropDuplicatesWithinWatermark` keys the state store on the
+    content hash and expires entries once the watermark passes — bounded
+    state, unlike an unbounded dropDuplicates). The streaming twin of
+    dedup_exact for ingestion pipelines where replays/retries duplicate
+    events."""
+    return (
+        stream.withColumn("text_hash", F.md5("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
 def streaming_wire_decode(stream: DataFrame, payload_col: str = "payload",
                           registry=None) -> DataFrame:
     """Wire-format decode over an unbounded stream: the Arrow-batch decode UDF

@@ -205,3 +205,28 @@ def test_streaming_wire_decode_matches_batch(spark, tmp_path):
         .select("decoded.*").collect()
     )
     assert got == expected and len(got) > 900
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must collapse replayed payloads to one
+    row each while keeping all distinct payloads."""
+    from logstash_codec_protobuf_spark.streaming.stream import dedup_stream
+
+    src = str(tmp_path / "dedup_src")
+    tr = transcripts_df(spark, SF_DIR).limit(200)
+    # replay every row twice (ingestion retry twin)
+    tr.union(tr).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = read_transcript_stream(spark, src)
+    q = (
+        dedup_stream(stream).writeStream.format("memory")
+        .queryName("dedup_stream_t").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT text_hash, count(*) c FROM dedup_stream_t "
+                    "GROUP BY text_hash").collect()
+    n_distinct = tr.select(F.md5("text")).distinct().count()
+    assert len(got) == n_distinct
+    assert all(r["c"] == 1 for r in got)

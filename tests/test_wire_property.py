@@ -1,0 +1,144 @@
+"""Property-based wire-format round trips: pure-Python, no Spark session —
+hypothesis drives the varint/zigzag/length-delimited grammar over the whole
+value space (the reference's round-trip oracle pattern,
+spec/codecs/pb3_encode_spec.rb:25-41, generalized to generated messages)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from logstash_codec_protobuf_spark.functions.wire import (
+    py_field_len, py_field_sint, py_field_string, py_field_varint, py_unzigzag,
+    py_varint, py_zigzag,
+)
+from logstash_codec_protobuf_spark.operators import pb_wire as W
+from logstash_codec_protobuf_spark.schema import default_registry
+
+REG = default_registry()
+
+u64 = st.integers(min_value=0, max_value=2**64 - 1)
+i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+i32 = st.integers(min_value=0, max_value=2**31 - 1)
+
+
+@given(u64)
+@settings(max_examples=300)
+def test_varint_roundtrip_u64(n):
+    buf = py_varint(n)
+    assert 1 <= len(buf) <= 10
+    got, pos = W.read_varint(buf, 0)
+    assert got == n and pos == len(buf)
+
+
+@given(i64)
+@settings(max_examples=300)
+def test_zigzag_roundtrip_i64(n):
+    z = py_zigzag(n)
+    assert 0 <= z <= 2**64 - 1
+    assert py_unzigzag(z) == n
+
+
+@given(i64)
+@settings(max_examples=200)
+def test_negative_int64_two_complement_roundtrip(n):
+    """int64 fields ride negatives as 10-byte two's-complement varints."""
+    buf = py_varint(n)
+    raw, _ = W.read_varint(buf, 0)
+    assert W._varint_value(raw, "int64") == n
+
+
+turn_values = st.fixed_dictionaries({
+    "conv_id": st.text(min_size=0, max_size=20),
+    "turn_idx": i32,
+    "role": st.text(max_size=8),
+    "tool": st.text(max_size=8),
+    "colour": st.integers(min_value=0, max_value=6),
+    "cents": i64,
+    "body_type": st.sampled_from(["unicorn", "pegasus", None]),
+    "horn": st.integers(min_value=0, max_value=2**31 - 1),
+    "wings": st.integers(min_value=0, max_value=2**31 - 1),
+    "msg": st.text(max_size=30),
+})
+
+
+@given(turn_values)
+@settings(max_examples=200, deadline=None)
+def test_turn_wire_roundtrip_property(v):
+    """decode(encode(turn)) reproduces every field under proto3 presence
+    rules: omitted-at-default scalars come back as defaults, the chosen oneof
+    member survives even at 0, the loser is None."""
+    d = W.py_decode(W.py_encode_turn(v), REG, "turn_wire")
+    assert d["conv_id"] == v["conv_id"]
+    assert d["turn_idx"] == v["turn_idx"]
+    assert d["role"] == v["role"] and d["tool"] == v["tool"]
+    assert d["cents"] == v["cents"]
+    assert d["msg"] == v["msg"]
+    name = REG.enums["Colour"].name_of(v["colour"])
+    assert d["colour"] == name
+    if v["body_type"] == "unicorn":
+        assert d["horn"] == v["horn"] and d["wings"] is None
+        assert d["_pb_oneof"] == {"body": "horn"}
+    elif v["body_type"] == "pegasus":
+        assert d["wings"] == v["wings"] and d["horn"] is None
+        assert d["_pb_oneof"] == {"body": "wings"}
+    else:
+        assert d["horn"] is None and d["wings"] is None
+        assert d["_pb_oneof"] == {}
+
+
+@given(st.lists(st.tuples(st.integers(min_value=1, max_value=200), u64),
+                max_size=12))
+@settings(max_examples=150)
+def test_unknown_varint_fields_always_skipped(fields):
+    """A message carrying ONLY unknown varint fields decodes to all-defaults
+    (forward compatibility, whatever the field numbers/values)."""
+    buf = b"".join(
+        py_field_varint(num, val) for num, val in fields
+        if num not in {1, 2, 3, 4, 5, 6, 8, 9, 10}
+    )
+    d = W.py_decode(buf, REG, "turn_wire")
+    assert d["conv_id"] == "" and d["turn_idx"] == 0
+
+
+@given(st.binary(max_size=64), u64, st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=200)
+def test_dns_bytes_and_uint64_roundtrip(payload, ident, rc):
+    buf = py_field_varint(1, ident)
+    if rc:
+        buf += py_field_varint(2, rc)
+    if payload:
+        buf += py_field_len(5, payload)
+    d = W.py_decode(buf, REG, "dns_message")
+    assert d["id"] == ident
+    assert d["response_code"] == rc
+    assert d["payload"] == payload
+
+
+@given(st.binary(min_size=1, max_size=40))
+@settings(max_examples=300)
+def test_random_bytes_never_crash_decoder(junk):
+    """Arbitrary bytes either decode (if they accidentally form valid wire
+    format) or raise the dead-letter ValueError — never any other exception."""
+    try:
+        W.py_decode(junk, REG, "turn_wire")
+    except ValueError as e:
+        assert "wire format" in str(e)
+
+
+@given(st.text(max_size=30))
+@settings(max_examples=200)
+def test_string_field_utf8_roundtrip(s):
+    buf = py_field_string(10, s) if s else b""
+    d = W.py_decode(buf, REG, "turn_wire")
+    assert d["msg"] == s
+
+
+@given(st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1),
+                min_size=1, max_size=10))
+@settings(max_examples=150)
+def test_sint_field_roundtrip(vals):
+    """sint64 zigzag round trip across sign boundaries."""
+    for v in vals:
+        buf = py_field_sint(6, v)
+        d = W.py_decode(buf, REG, "turn_wire")
+        assert d["cents"] == v
