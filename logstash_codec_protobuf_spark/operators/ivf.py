@@ -1,0 +1,228 @@
+"""IVF (inverted-file) approximate nearest neighbor over embedding columns.
+
+The second scale path for ANN beside hyperplane LSH (similarity.py): a coarse
+quantizer assigns every vector to its nearest centroid (the "inverted list");
+a query scores only the vectors in its ``n_probe`` closest lists instead of
+the whole corpus — cost O(K + n_probe * corpus/K) per query.
+
+Spark-first shapes:
+- the centroid set is tiny (K rows) -> broadcast to every executor;
+- assignment is a broadcast cross join + per-vector argmin (window rank over
+  K candidate rows — K is constant, so this is a narrow O(n*K) projection);
+- at warehouse scale the corpus is written partitioned/bucketed BY
+  ``centroid_id`` so a probe is a partition-pruned scan; here it is a
+  co-partitioned equi-join on centroid_id.
+
+Determinism: centroids are the first K corpus vectors (vec_id < K) — a plain
+data-dependent seed both engines can name — so assignment, probing, and
+ranking are all exactly reproducible and the DuckDB oracles compare
+rows+schema+hash, same as the LSH path. Lloyd refinement (ivf_refine) is the
+Spark-only quality knob: each iteration is one groupBy over (centroid, dim)
+— validated by a monotone-inertia pytest rather than an oracle because its
+output feeds recall, not a fixed contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.portable import DUCK, SPARK
+
+N_CENTROIDS = 8
+
+
+def _with_norm(emb: DataFrame, d=SPARK) -> DataFrame:
+    return emb.withColumn(
+        "nrm", F.expr(f"sqrt({d.dot('embedding', 'embedding')})")
+    )
+
+
+def ivf_assign(emb: DataFrame, k: int = N_CENTROIDS) -> DataFrame:
+    """(vec_id, centroid_id, score): nearest centroid by cosine, ties broken
+    by centroid id. One broadcast cross join (n x K) + window argmin."""
+    d = SPARK
+    e = _with_norm(emb).select("vec_id", "embedding", "nrm").persist()
+    c = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = e.join(F.broadcast(c)).select(
+        "vec_id", "centroid_id",
+        F.expr(f"({d.dot('embedding', 'cv')}) / (nrm * c_nrm)").alias("_s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_s"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "centroid_id",
+                F.expr(SPARK.trunc6("_s")).alias("score"))
+    )
+
+
+def ivf_assign_oracle(k: int = N_CENTROIDS) -> str:
+    d = DUCK
+    cos = d.dot("e.embedding", "c.embedding")
+    nrm_e = f"sqrt({d.dot('e.embedding', 'e.embedding')})"
+    nrm_c = f"sqrt({d.dot('c.embedding', 'c.embedding')})"
+    return f"""
+WITH scored AS (
+  SELECT e.vec_id, c.vec_id AS centroid_id,
+         ({cos}) / (({nrm_e}) * ({nrm_c})) AS s
+  FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {k}) c
+), ranked AS (
+  SELECT vec_id, centroid_id, s,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY s DESC, centroid_id) AS rn
+  FROM scored
+)
+SELECT vec_id, centroid_id, {d.trunc6('s')} AS score
+FROM ranked WHERE rn = 1
+"""
+
+
+def ivf_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
+             n_centroids: int = N_CENTROIDS, n_probe: int = 2) -> DataFrame:
+    """Approximate top-k: each query scores only the vectors whose inverted
+    list is among the query's ``n_probe`` nearest centroids."""
+    d = SPARK
+    e = _with_norm(emb).select("vec_id", "embedding", "nrm").persist()
+    c = e.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cscore = e.join(F.broadcast(c)).select(
+        "vec_id", "centroid_id",
+        F.expr(f"({d.dot('embedding', 'cv')}) / (nrm * c_nrm)").alias("_s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_s"), F.asc("centroid_id"))
+    ranked = cscore.withColumn("_rn", F.row_number().over(w))
+    lists = (ranked.filter(F.col("_rn") == 1)
+             .select("vec_id", "centroid_id"))
+    probes = (ranked.filter((F.col("_rn") <= n_probe)
+                            & (F.col("vec_id") < n_queries))
+              .select(F.col("vec_id").alias("query_id"), "centroid_id"))
+
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    corpus = e.join(lists, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"),
+        F.col("nrm").alias("n_nrm"), "centroid_id",
+    )
+    cand = (probes.join(corpus, "centroid_id")
+            .join(q, "query_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id",
+                    F.expr(f"({d.dot('qv', 'cv')}) / (q_nrm * n_nrm)")
+                    .alias("_s")))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_s"),
+                                                F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wq).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.expr(SPARK.trunc6("_s")).alias("score"), "rank")
+    )
+
+
+def ivf_topk_oracle(n_queries: int = 8, k: int = 5,
+                    n_centroids: int = N_CENTROIDS, n_probe: int = 2) -> str:
+    d = DUCK
+    cos_ec = d.dot("e.embedding", "c.embedding")
+    nrm_e = f"sqrt({d.dot('e.embedding', 'e.embedding')})"
+    nrm_c = f"sqrt({d.dot('c.embedding', 'c.embedding')})"
+    cos_qn = d.dot("q.embedding", "n.embedding")
+    nrm_q = f"sqrt({d.dot('q.embedding', 'q.embedding')})"
+    nrm_n = f"sqrt({d.dot('n.embedding', 'n.embedding')})"
+    return f"""
+WITH cscore AS (
+  SELECT e.vec_id, c.vec_id AS centroid_id,
+         ({cos_ec}) / (({nrm_e}) * ({nrm_c})) AS s
+  FROM embeddings e
+  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {n_centroids}) c
+), ranked AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY s DESC, centroid_id) AS rn
+  FROM cscore
+), lists AS (
+  SELECT vec_id, centroid_id FROM ranked WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM ranked
+  WHERE rn <= {n_probe} AND vec_id < {n_queries}
+), cand AS (
+  SELECT p.query_id, l.vec_id AS neighbor_id,
+         ({cos_qn}) / (({nrm_q}) * ({nrm_n})) AS s
+  FROM probes p
+  JOIN lists l ON l.centroid_id = p.centroid_id
+  JOIN embeddings n ON n.vec_id = l.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE p.query_id <> l.vec_id
+), topk AS (
+  SELECT query_id, neighbor_id, s,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, neighbor_id) AS INTEGER)
+             AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, {d.trunc6('s')} AS score, rank
+FROM topk WHERE rank <= {k}
+"""
+
+
+def ivf_refine(emb: DataFrame, k: int = N_CENTROIDS,
+               iters: int = 2) -> DataFrame:
+    """Lloyd refinement of the centroid set (Spark-only quality knob):
+    iteratively reassign vectors and recompute centroids as element-wise
+    means. Each iteration is one explode + one groupBy over (centroid, dim)
+    — fully distributed, no driver-side vectors. Returns (centroid_id,
+    centroid array<double>)."""
+    d = SPARK
+    e = _with_norm(emb).select("vec_id", "embedding", "nrm").persist()
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    for _ in range(iters):
+        c = cents.withColumn(
+            "c_nrm", F.expr(f"sqrt({d.dot('cv', 'cv')})")
+        )
+        scored = e.join(F.broadcast(c)).select(
+            "vec_id", "embedding", "centroid_id",
+            F.expr(f"({d.dot('embedding', 'cv')}) / (nrm * c_nrm)")
+            .alias("_s"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("_s"),
+                                                 F.asc("centroid_id"))
+        assigned = (scored.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .select("vec_id", "embedding", "centroid_id"))
+        dims = assigned.select(
+            "centroid_id",
+            F.posexplode(F.col("embedding")).alias("dim", "val"),
+        )
+        means = (dims.groupBy("centroid_id", "dim")
+                 .agg(F.avg("val").alias("m")))
+        cents = (means.groupBy("centroid_id")
+                 .agg(F.array_sort(
+                     F.collect_list(F.struct("dim", "m"))).alias("pairs"))
+                 .select("centroid_id",
+                         F.expr("transform(pairs, p -> p.m)").alias("cv")))
+    return cents
+
+
+def ivf_inertia(emb: DataFrame, cents: DataFrame) -> float:
+    """Mean (1 - best cosine) over the corpus for a centroid set — the
+    quantization error Lloyd iterations must not increase."""
+    d = SPARK
+    e = _with_norm(emb).select("vec_id", "embedding", "nrm")
+    c = cents.withColumn("c_nrm", F.expr(f"sqrt({d.dot('cv', 'cv')})"))
+    scored = e.join(F.broadcast(c)).select(
+        "vec_id",
+        F.expr(f"({d.dot('embedding', 'cv')}) / (nrm * c_nrm)").alias("_s"),
+    )
+    best = scored.groupBy("vec_id").agg(F.max("_s").alias("best"))
+    return float(best.agg(F.avg(1 - F.col("best"))).first()[0])

@@ -935,6 +935,25 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+from .operators import ivf as IVF  # noqa: E402
+
+
+@query("ivf_assign", IVF.ivf_assign_oracle())
+def ivf_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: every vector assigned to its nearest centroid
+    (deterministic seed centroids = first K corpus vectors, broadcast cross
+    join + window argmin) — the inverted-list build step."""
+    return IVF.ivf_assign(load_table(spark, sf_dir, "embeddings"))
+
+
+@query("ivf_topk", IVF.ivf_topk_oracle())
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: probe the query's n_probe nearest inverted
+    lists only — the second ANN scale path beside hyperplane LSH, with cost
+    O(K + n_probe * corpus/K) per query."""
+    return IVF.ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 @query("multimodal_features", MM.features_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary media payloads (stubbed

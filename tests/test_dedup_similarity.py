@@ -144,3 +144,25 @@ def test_decode_image_stub_gated(spark):
     if not MM.HAS_PIL:
         with pytest.raises(NotImplementedError, match="PIL"):
             MM.decode_image(b"\x89PNG")
+
+
+def test_ivf_topk_recall_and_refinement(spark):
+    """IVF probing must recover a solid fraction of true top-5 neighbors, and
+    Lloyd refinement must not increase quantization error (monotone inertia)."""
+    from logstash_codec_protobuf_spark.operators import ivf as IVF
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in SIM.cosine_topk(emb).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in IVF.ivf_topk(emb, n_probe=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+    seed = IVF.ivf_refine(emb, iters=0)
+    one = IVF.ivf_refine(emb, iters=1)
+    two = IVF.ivf_refine(emb, iters=2)
+    i0 = IVF.ivf_inertia(emb, seed)
+    i1 = IVF.ivf_inertia(emb, one)
+    i2 = IVF.ivf_inertia(emb, two)
+    assert i1 <= i0 + 1e-9 and i2 <= i1 + 1e-9, (i0, i1, i2)
