@@ -440,6 +440,113 @@ def decode_turn_wire(df: DataFrame, payload_col: str = "payload",
 
 
 # ---------------------------------------------------------------------------
+# unicorn: nested message + packed repeated enums/ints on the wire
+# (spec/helpers/pb3/unicorn_pb.rb:7-18; spec/codecs/pb3_decode_spec.rb:78-136)
+# ---------------------------------------------------------------------------
+
+UNICORN_DECODED = T.StructType([
+    T.StructField("name", T.StringType()),
+    T.StructField("age", T.IntegerType()),
+    T.StructField("fur_colour", T.StringType()),          # pb3 enum name
+    T.StructField("favourite_colours", T.ArrayType(T.StringType())),
+    T.StructField("favourite_numbers", T.ArrayType(T.IntegerType())),
+    T.StructField("is_pegasus", T.BooleanType()),
+    T.StructField("mother_name", T.StringType()),
+    T.StructField("mother_age", T.IntegerType()),
+    T.StructField("mother_fur", T.StringType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+@F.pandas_udf(T.BinaryType())
+def _encode_unicorn_udf(name: pd.Series, age: pd.Series, fur: pd.Series,
+                        favc: pd.Series, favn: pd.Series, is_peg: pd.Series,
+                        m_name: pd.Series, m_age: pd.Series,
+                        m_fur: pd.Series) -> pd.Series:
+    """unicorn wire bytes with proto3 packed encoding for the repeated
+    numeric fields (the proto3 default a real encoder emits) and a nested
+    length-delimited mother message."""
+    from ..functions.wire import (
+        py_field_len, py_field_string, py_field_varint, py_varint,
+    )
+
+    out = []
+    for n, a, f, fc, fn, p, mn, ma, mf in zip(
+            name, age, fur, favc, favn, is_peg, m_name, m_age, m_fur):
+        buf = b""
+        if n:
+            buf += py_field_string(1, n)
+        if a:
+            buf += py_field_varint(2, int(a))
+        if f:
+            buf += py_field_varint(3, int(f))
+        if len(fc):
+            buf += py_field_len(4, b"".join(py_varint(int(c)) for c in fc))
+        if len(fn):
+            buf += py_field_len(5, b"".join(py_varint(int(v)) for v in fn))
+        if p:
+            buf += py_field_varint(6, 1)
+        mother = b""
+        if mn:
+            mother += py_field_string(1, mn)
+        if ma:
+            mother += py_field_varint(2, int(ma))
+        if mf:
+            mother += py_field_varint(3, int(mf))
+        buf += py_field_len(7, mother)  # mother always serialized (even empty)
+        out.append(buf)
+    return pd.Series(out)
+
+
+def _make_unicorn_decode_udf(registry: SchemaRegistry):
+    @F.pandas_udf(UNICORN_DECODED)
+    def _decode(payload: pd.Series) -> pd.DataFrame:
+        names = [f.name for f in UNICORN_DECODED]
+        cols: dict[str, list] = {n: [] for n in names}
+        for buf in payload:
+            try:
+                d = py_decode(bytes(buf), registry, "unicorn")
+                m = d["mother"] or {}
+                cols["name"].append(d["name"])
+                cols["age"].append(d["age"])
+                cols["fur_colour"].append(d["fur_colour"])
+                cols["favourite_colours"].append(d["favourite_colours"])
+                cols["favourite_numbers"].append(d["favourite_numbers"])
+                cols["is_pegasus"].append(d["is_pegasus"])
+                cols["mother_name"].append(m.get("name"))
+                cols["mother_age"].append(m.get("age"))
+                cols["mother_fur"].append(m.get("fur_colour"))
+                cols["error"].append(None)
+            except ValueError:
+                for n in names:
+                    cols[n].append(None if n != "error" else WIRE_ERROR)
+        out = pd.DataFrame(cols, columns=names)
+        for c in ("age", "mother_age"):
+            out[c] = out[c].astype("Int64")
+        return out
+
+    return _decode
+
+
+def unicorn_roundtrip(df: DataFrame, registry: SchemaRegistry | None = None
+                      ) -> DataFrame:
+    """Encode (name, age, fur, favc, favn, is_peg, m_*) columns as unicorn
+    wire bytes and decode back -> ``decoded`` struct. Exercises nested
+    messages and proto3 PACKED repeated enum/int fields end to end."""
+    reg = registry if registry is not None else default_registry()
+    enc = df.withColumn(
+        "payload",
+        _encode_unicorn_udf(
+            F.col("u_name"), F.col("u_age"), F.col("u_fur"),
+            F.col("u_favc"), F.col("u_favn"), F.col("u_peg"),
+            F.col("m_name"), F.col("m_age"), F.col("m_fur"),
+        ),
+    )
+    return enc.withColumn("decoded",
+                          _make_unicorn_decode_udf(reg)(F.col("payload")))
+
+
+# ---------------------------------------------------------------------------
 # dns_message: uint64 above int64 range + bytes columns on the wire
 # (spec/helpers/pb3/dnsmessage_pb.rb:8-18; spec/codecs/pb3_decode_spec.rb:172-241)
 # ---------------------------------------------------------------------------

@@ -619,6 +619,67 @@ def pb_wire_uint64_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @query(
+    "pb_wire_nested_repeated",
+    _oracle(
+        """
+SELECT t.event_id,
+       'u' || CAST(t.event_id AS STRING) AS name,
+       CAST(t.event_id % 30 AS INTEGER) AS age,
+       e1.name AS fur_colour,
+       [e1.name, e2.name] AS favourite_colours,
+       [CAST(t.event_id % 10 AS INTEGER), CAST(t.event_id % 100 AS INTEGER),
+        150] AS favourite_numbers,
+       t.event_id % 2 = 0 AS is_pegasus,
+       'm' || CAST(t.event_id AS STRING) AS mother_name,
+       CAST(t.event_id % 30 + 20 AS INTEGER) AS mother_age,
+       e3.name AS mother_fur
+FROM events t
+LEFT JOIN enums e1 ON e1.enum_class = 'Colour'
+                  AND e1.code = CAST(t.event_id % 7 AS INTEGER)
+LEFT JOIN enums e2 ON e2.enum_class = 'Colour'
+                  AND e2.code = CAST((t.event_id + 1) % 7 AS INTEGER)
+LEFT JOIN enums e3 ON e3.enum_class = 'Colour'
+                  AND e3.code = CAST((t.event_id + 3) % 7 AS INTEGER)
+"""
+    ),
+)
+def pb_wire_nested_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unicorn flagship fixture through REAL wire bytes: nested mother
+    message (length-delimited), proto3 PACKED repeated enum + int fields,
+    enum symbolization inside arrays, proto3 defaults for omitted scalars
+    (age 0 / fur code 0 -> 'UNDEFINED'). The oracle reconstructs the expected
+    decode independently from the generator arithmetic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("u_name"),
+        (F.col("event_id") % 30).cast("int").alias("u_age"),
+        (F.col("event_id") % 7).cast("int").alias("u_fur"),
+        F.array((F.col("event_id") % 7).cast("int"),
+                ((F.col("event_id") + 1) % 7).cast("int")).alias("u_favc"),
+        F.array((F.col("event_id") % 10).cast("int"),
+                (F.col("event_id") % 100).cast("int"),
+                F.lit(150)).alias("u_favn"),
+        (F.col("event_id") % 2 == 0).alias("u_peg"),
+        F.concat(F.lit("m"), F.col("event_id").cast("string")).alias("m_name"),
+        (F.col("event_id") % 30 + 20).cast("int").alias("m_age"),
+        ((F.col("event_id") + 3) % 7).cast("int").alias("m_fur"),
+    )
+    out = PW.unicorn_roundtrip(ev)
+    d = F.col("decoded")
+    return out.select(
+        "event_id",
+        d["name"].alias("name"), d["age"].alias("age"),
+        d["fur_colour"].alias("fur_colour"),
+        d["favourite_colours"].alias("favourite_colours"),
+        d["favourite_numbers"].alias("favourite_numbers"),
+        d["is_pegasus"].alias("is_pegasus"),
+        d["mother_name"].alias("mother_name"),
+        d["mother_age"].alias("mother_age"),
+        d["mother_fur"].alias("mother_fur"),
+    )
+
+
+@query(
     "oneof_three_option",
     """
 SELECT event_id,
