@@ -547,6 +547,75 @@ def unicorn_roundtrip(df: DataFrame, registry: SchemaRegistry | None = None
 
 
 # ---------------------------------------------------------------------------
+# contact: map<string,int32> entries on the wire
+# (spec/helpers/pb3/PhoneDirectory_pb.rb:7-28; map entry = message {1:k, 2:v})
+# ---------------------------------------------------------------------------
+
+CONTACT_DECODED = T.StructType([
+    T.StructField("name", T.StringType()),
+    T.StructField("phones", T.ArrayType(T.StructType([
+        T.StructField("label", T.StringType()),
+        T.StructField("number", T.IntegerType()),
+    ]))),  # map entries, sorted by label (maps hash-compare unreliably)
+    T.StructField("error", T.StringType()),
+])
+
+
+@F.pandas_udf(T.BinaryType())
+def _encode_contact_udf(name: pd.Series, labels: pd.Series,
+                        numbers: pd.Series) -> pd.Series:
+    """contact wire bytes: each map entry is its own length-delimited
+    sub-message {field 1: key, field 2: value} — the proto3 map encoding."""
+    from ..functions.wire import py_field_len, py_field_string, py_field_varint
+
+    out = []
+    for n, ls, ns in zip(name, labels, numbers):
+        buf = py_field_string(1, n) if n else b""
+        for lab, num in zip(ls, ns):
+            entry = py_field_string(1, lab) + (
+                py_field_varint(2, int(num)) if int(num) else b""
+            )
+            buf += py_field_len(2, entry)
+        out.append(buf)
+    return pd.Series(out)
+
+
+def _make_contact_decode_udf(registry: SchemaRegistry):
+    @F.pandas_udf(CONTACT_DECODED)
+    def _decode(payload: pd.Series) -> pd.DataFrame:
+        cols: dict[str, list] = {"name": [], "phones": [], "error": []}
+        for buf in payload:
+            try:
+                d = py_decode(bytes(buf), registry, "contact")
+                cols["name"].append(d["name"])
+                cols["phones"].append(
+                    [(k, v) for k, v in sorted(d["phone_numbers"].items())]
+                )
+                cols["error"].append(None)
+            except ValueError:
+                cols["name"].append(None)
+                cols["phones"].append(None)
+                cols["error"].append(WIRE_ERROR)
+        return pd.DataFrame(cols)
+
+    return _decode
+
+
+def contact_roundtrip(df: DataFrame, registry: SchemaRegistry | None = None
+                      ) -> DataFrame:
+    """Encode (c_name, c_labels array<string>, c_numbers array<int>) as
+    contact wire bytes (proto3 map entries) and decode back."""
+    reg = registry if registry is not None else default_registry()
+    enc = df.withColumn(
+        "payload",
+        _encode_contact_udf(F.col("c_name"), F.col("c_labels"),
+                            F.col("c_numbers")),
+    )
+    return enc.withColumn("decoded",
+                          _make_contact_decode_udf(reg)(F.col("payload")))
+
+
+# ---------------------------------------------------------------------------
 # dns_message: uint64 above int64 range + bytes columns on the wire
 # (spec/helpers/pb3/dnsmessage_pb.rb:8-18; spec/codecs/pb3_decode_spec.rb:172-241)
 # ---------------------------------------------------------------------------

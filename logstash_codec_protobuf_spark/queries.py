@@ -680,6 +680,44 @@ def pb_wire_nested_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pb_wire_map_entries",
+    """
+SELECT event_id, 'c' || CAST(event_id AS STRING) AS name,
+       'home' AS label, CAST(event_id % 1000 AS INTEGER) AS number
+FROM events
+UNION ALL
+SELECT event_id, 'c' || CAST(event_id AS STRING) AS name,
+       'work' AS label, CAST(event_id % 97 AS INTEGER) AS number
+FROM events
+""",
+)
+def pb_wire_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """proto3 map<string,int32> through REAL wire bytes (PhoneDirectory
+    fixture): each entry rides as its own {1:key, 2:value} sub-message,
+    zero-valued entries omit the value field (decoded back as 0). Decoded
+    maps are exploded to rows — multiset comparison is order-independent,
+    unlike map hash equality."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("c"), F.col("event_id").cast("string")).alias("c_name"),
+        F.array(F.lit("home"), F.lit("work")).alias("c_labels"),
+        F.array((F.col("event_id") % 1000).cast("int"),
+                (F.col("event_id") % 97).cast("int")).alias("c_numbers"),
+    )
+    out = PW.contact_roundtrip(ev)
+    d = F.col("decoded")
+    exploded = out.select(
+        "event_id", d["name"].alias("name"),
+        F.explode(d["phones"]).alias("ph"),
+    )
+    return exploded.select(
+        "event_id", "name",
+        F.col("ph")["label"].alias("label"),
+        F.col("ph")["number"].alias("number"),
+    )
+
+
+@query(
     "oneof_three_option",
     """
 SELECT event_id,
