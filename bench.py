@@ -143,13 +143,19 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], int]:
         from logstash_codec_protobuf_spark.operators import pb_wire as PW
         good, _ = split_dead_letter(parse_turns(tr, impl="native"))
         p = F.col("parsed")
+        # persist: the encode expression references every flat column ~40x;
+        # without the barrier projection collapse re-runs the regexp parse
+        # once per reference (measured 7x slower)
         flat = good.select(
             *[p[c].alias(c) for c in ("conv_id", "turn_idx", "role", "tool",
                                       "colour", "cents", "body_type", "horn",
                                       "wings", "msg")]
-        )
+        ).persist()
         dec = PW.decode_turn_wire(PW.encode_turn_wire(flat))
-        return _consume(dec.filter(F.col("decoded")["error"].isNull()))
+        try:
+            return _consume(dec.filter(F.col("decoded")["error"].isNull()))
+        finally:
+            flat.unpersist()
 
     cases = {
         "parse_route_native": routed_counts("native"),

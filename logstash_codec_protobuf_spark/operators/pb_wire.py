@@ -351,13 +351,19 @@ DUCK_TURN_COLS = {
 }
 
 
-def encode_turn_wire(df: DataFrame, binary: bool = True) -> DataFrame:
+def encode_turn_wire(df: DataFrame, binary: bool = True,
+                     materialize: bool = False) -> DataFrame:
     """Append ``payload_hex`` (and BinaryType ``payload`` when ``binary``) —
-    pure column expressions, zero Python workers."""
+    pure column expressions, zero Python workers.
+
+    ``materialize=True`` persists the result: consumers that touch BOTH
+    payload columns (a round trip compares payload_hex while decoding
+    payload) would otherwise evaluate the full encode expression tree once
+    per reference."""
     out = df.withColumn("payload_hex", F.expr(turn_wire_hex(SPARK, SPARK_TURN_COLS)))
     if binary:
         out = out.withColumn("payload", F.unhex(F.col("payload_hex")))
-    return out
+    return out.persist() if materialize else out
 
 
 # ---------------------------------------------------------------------------

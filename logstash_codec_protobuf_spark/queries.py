@@ -62,7 +62,7 @@ def _good_parsed(spark: SparkSession, sf_dir: str, impl: str = "native") -> Data
 def _good_flat(spark: SparkSession, sf_dir: str, impl: str = "native") -> DataFrame:
     good = _good_parsed(spark, sf_dir, impl)
     p = F.col("parsed")
-    return good.select(
+    flat = good.select(
         p["conv_id"].alias("conv_id"),
         p["turn_idx"].alias("turn_idx"),
         p["role"].alias("role"),
@@ -76,6 +76,10 @@ def _good_flat(spark: SparkSession, sf_dir: str, impl: str = "native") -> DataFr
         F.col("ts"),
         F.col("text"),
     )
+    # persist: projection collapse would otherwise substitute the per-field
+    # regexp parse into every downstream reference — the wire encoder alone
+    # references these columns ~40x each (measured 7x slower un-cached)
+    return flat.persist()
 
 
 # --------------------------------------------------------------------------
@@ -467,7 +471,8 @@ def pb_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-serialization."""
     from .sources.dims import enums_df
 
-    enc_df = PW.encode_turn_wire(_good_flat(spark, sf_dir))
+    enc_df = PW.encode_turn_wire(_good_flat(spark, sf_dir),
+                                 materialize=True)
     dec = PW.decode_turn_wire(enc_df).select(
         F.col("payload_hex").alias("orig_hex"), F.col("decoded").alias("d")
     )
@@ -555,7 +560,7 @@ def pb2_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     flat = _good_flat(spark, sf_dir).withColumnRenamed("ts", "@timestamp")
     flat = strip_at_keys(flat)  # '@timestamp' -> 'timestamp'
-    enc_df = PW.encode_turn_wire(flat)
+    enc_df = PW.encode_turn_wire(flat, materialize=True)
     dec = PW.decode_turn_wire(enc_df, proto_version=2)
     d = F.col("decoded")
     again = dec.select(
