@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.portable import DUCK, SPARK
+from .similarity import pair_dot as SIM_pair_dot
 
 N_CENTROIDS = 8
 
@@ -49,7 +50,8 @@ def ivf_assign(emb: DataFrame, k: int = N_CENTROIDS) -> DataFrame:
     )
     scored = e.join(F.broadcast(c)).select(
         "vec_id", "centroid_id",
-        F.expr(f"({d.dot('embedding', 'cv')}) / (nrm * c_nrm)").alias("_s"),
+        (SIM_pair_dot("embedding", "cv") / (F.col("nrm") * F.col("c_nrm")))
+        .alias("_s"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("_s"), F.asc("centroid_id"))
     return (
@@ -94,7 +96,8 @@ def ivf_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
     )
     cscore = e.join(F.broadcast(c)).select(
         "vec_id", "centroid_id",
-        F.expr(f"({d.dot('embedding', 'cv')}) / (nrm * c_nrm)").alias("_s"),
+        (SIM_pair_dot("embedding", "cv") / (F.col("nrm") * F.col("c_nrm")))
+        .alias("_s"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("_s"), F.asc("centroid_id"))
     ranked = cscore.withColumn("_rn", F.row_number().over(w))
@@ -116,8 +119,8 @@ def ivf_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
             .join(q, "query_id")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id",
-                    F.expr(f"({d.dot('qv', 'cv')}) / (q_nrm * n_nrm)")
-                    .alias("_s")))
+                    (SIM_pair_dot("qv", "cv")
+                     / (F.col("q_nrm") * F.col("n_nrm"))).alias("_s")))
     wq = Window.partitionBy("query_id").orderBy(F.desc("_s"),
                                                 F.asc("neighbor_id"))
     return (
@@ -192,8 +195,8 @@ def ivf_refine(emb: DataFrame, k: int = N_CENTROIDS,
         )
         scored = e.join(F.broadcast(c)).select(
             "vec_id", "embedding", "centroid_id",
-            F.expr(f"({d.dot('embedding', 'cv')}) / (nrm * c_nrm)")
-            .alias("_s"),
+            (SIM_pair_dot("embedding", "cv")
+             / (F.col("nrm") * F.col("c_nrm"))).alias("_s"),
         )
         w = Window.partitionBy("vec_id").orderBy(F.desc("_s"),
                                                  F.asc("centroid_id"))

@@ -20,25 +20,59 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 from ..functions.portable import DUCK, SPARK
 
 DIM = 64  # driver embeddings are 64-d
 
 
+@F.pandas_udf(T.DoubleType())
+def _dot_seq_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Index-order dot product, Arrow-vectorized.
+
+    Bit-identical to the SQL fold template (portable.Dialect.dot) and hence
+    to the DuckDB oracle: each pair accumulates acc = acc + a_i*b_i in
+    DIMENSION ORDER (the per-dimension loop keeps the sequential IEEE tree —
+    np.dot's pairwise/SIMD summation would NOT match). Exists because
+    Catalyst's aggregate() higher-order function is interpreted per element
+    (no whole-stage codegen), which made per-PAIR dots the hot cost of the
+    similarity joins; per-VECTOR work (norms, bucket signatures) stays in SQL
+    where its O(n) cost is irrelevant."""
+    import numpy as np
+
+    A = np.stack(a.to_numpy()).astype(np.float64)
+    B = np.stack(b.to_numpy()).astype(np.float64)
+    acc = np.zeros(len(A), dtype=np.float64)
+    for i in range(A.shape[1]):
+        acc = acc + A[:, i] * B[:, i]
+    return pd.Series(acc)
+
+
+def pair_dot(a: str | Column, b: str | Column) -> Column:
+    """Arrow-batched exact dot for per-pair scoring."""
+    return _dot_seq_udf(F.col(a) if isinstance(a, str) else a,
+                        F.col(b) if isinstance(b, str) else b)
+
+
 def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
     """Exact top-k neighbors (excluding self) for query vectors vec_id < n."""
     d = SPARK
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    nrm = F.expr(f"sqrt({d.dot('embedding', 'embedding')})")
+    h = emb.withColumn("nrm", nrm)
+    q = h.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("embedding").alias("cv"))
-    cos = F.expr(d.cosine("qv", "cv"))
+    c = h.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("cv"),
+                 F.col("nrm").alias("c_nrm"))
     scored = (
         q.join(F.broadcast(c), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("score"))
+        .select("query_id", "neighbor_id",
+                (pair_dot("qv", "cv") / (F.col("q_nrm") * F.col("c_nrm")))
+                .alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -111,7 +145,7 @@ def neardup_pairs(emb: DataFrame, threshold: float = 0.9,
         a.join(b, (F.col("probe") == F.col("b_bucket"))
                & (F.col("a_id") < F.col("b_id")))
         .select("a_id", "b_id",
-                F.expr(d.dot("av", "bv")).alias("dp"),
+                pair_dot("av", "bv").alias("dp"),
                 "a_nrm", "b_nrm")
         .persist()
     )
@@ -182,10 +216,12 @@ def lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
     """
     d = SPARK
     bucket = F.expr(lsh_bucket_expr("embedding", n_planes))
-    hashed = emb.withColumn("bucket", bucket).persist()
+    nrm = F.expr(f"sqrt({d.dot('embedding', 'embedding')})")
+    hashed = (emb.withColumn("bucket", bucket).withColumn("nrm", nrm)
+              .persist())
     q = hashed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
-        F.col("bucket"),
+        F.col("nrm").alias("q_nrm"), F.col("bucket"),
     )
     if multiprobe:
         probes = "array(bucket" + "".join(
@@ -193,12 +229,14 @@ def lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
         ) + ")"
         q = q.withColumn("bucket", F.explode(F.expr(probes)))
     c = hashed.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("embedding").alias("cv"), F.col("bucket"))
-    cos = F.expr(d.cosine("qv", "cv"))
+                      F.col("embedding").alias("cv"),
+                      F.col("nrm").alias("c_nrm"), F.col("bucket"))
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("score"))
+        .select("query_id", "neighbor_id",
+                (pair_dot("qv", "cv") / (F.col("q_nrm") * F.col("c_nrm")))
+                .alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
