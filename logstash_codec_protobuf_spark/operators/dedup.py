@@ -70,8 +70,10 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     """
     d = SPARK
     cand = minhash_pairs(docs)
+    shingle_col = (_shingles3_udf(F.col("text")) if k == 3
+                   else F.expr(d.shingles("text", k)))
     sh = docs.select(
-        "doc_id", F.expr(d.shingles("text", k)).alias("shingles")
+        "doc_id", shingle_col.alias("shingles")
     ).select(
         "doc_id", "shingles", F.size("shingles").alias("n_sh")
     ).persist()  # probed twice (a- and b-side of the candidate join)
@@ -151,23 +153,80 @@ def _band_exprs(d: Dialect, basis: str = "_hb") -> list[str]:
     return bands
 
 
+import pandas as pd  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _shingle_hashes_udf(text: pd.Series) -> pd.Series:
+    """Arrow-vectorized twin of _shingle_hashes: distinct char-4-gram poly
+    hashes + two Lehmer rounds, EXACT integer arithmetic identical to the SQL
+    template (all intermediates < 2^47, ord == ascii for the codepoints both
+    engines produce). Exists because transform/aggregate higher-order
+    functions are interpreted per element in Catalyst — the basis was the
+    dominant cost of every fingerprint operator."""
+    k = MINHASH_SHINGLE_K
+    out = []
+    for t in text:
+        seen = dict.fromkeys(t[i:i + k] for i in range(len(t) - k + 1))
+        hs = []
+        for s in seen:
+            acc = 0
+            for ch in s:
+                acc = (acc * 31 + ord(ch)) % MOD
+            hs.append(((acc * 48271 % MOD) * 48271) % MOD)
+        out.append(hs)
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _shingles3_udf(text: pd.Series) -> pd.Series:
+    """Distinct char-3-grams, first-occurrence order (== array_distinct of
+    the substring map in the SQL template)."""
+    return pd.Series(
+        [list(dict.fromkeys(t[i:i + 3] for i in range(len(t) - 2)))
+         for t in text]
+    )
+
+
 def _hash_basis(docs: DataFrame) -> DataFrame:
     """(doc_id, _hb): the shingle-hash array, computed exactly once per doc."""
-    return docs.select(
-        "doc_id", F.expr(_shingle_hashes(SPARK)).alias("_hb")
-    )
+    return docs.select("doc_id", _shingle_hashes_udf(F.col("text")).alias("_hb"))
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _minhash_sigs_udf(hb: pd.Series) -> pd.Series:
+    """16 permutation minima per basis array — exact int64 arithmetic
+    (hash < 2^31, multiplier < 2^17 -> products < 2^48), identical to the
+    SQL minhash_term template."""
+    import numpy as np
+
+    out = []
+    for hs in hb:
+        arr = np.asarray(hs, dtype=np.int64)
+        out.append([int(((arr * a + b) % MOD).min()) for a, b in MINHASH_PERMS])
+    return pd.Series(out)
 
 
 def minhash_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, band_idx, band_key) — the LSH bucket assignment. One narrow
     projection + explode; no shuffle until the candidate join."""
-    bands = _band_exprs(SPARK)
-    struct_items = ", ".join(
-        f"named_struct('band_idx', {i}, 'band_key', {b})"
-        for i, b in enumerate(bands)
+    sigs = _hash_basis(docs).select(
+        "doc_id", _minhash_sigs_udf(F.col("_hb")).alias("_sigs")
     )
-    return _hash_basis(docs).select(
-        "doc_id", F.expr(f"explode(array({struct_items})) AS band")
+    items = ", ".join(
+        "named_struct('band_idx', {i}, 'band_key', {key})".format(
+            i=bi,
+            key=" || '_' || ".join(
+                f"CAST(element_at(_sigs, {bi * ROWS_PER_BAND + j + 1}) "
+                f"AS STRING)"
+                for j in range(ROWS_PER_BAND)
+            ),
+        )
+        for bi in range(N_BANDS)
+    )
+    return sigs.select(
+        "doc_id", F.expr(f"explode(array({items})) AS band")
     ).select("doc_id", F.col("band.band_idx").alias("band_idx"),
              F.col("band.band_key").alias("band_key"))
 
@@ -229,12 +288,30 @@ def _shingle_hashes(d: Dialect) -> str:
     return d.amap(raw, f"h -> ((h * 48271 % {MOD}) * 48271) % {MOD}")
 
 
+@F.pandas_udf(T.LongType())
+def _simhash32_udf(hb: pd.Series) -> pd.Series:
+    """32-bit majority vote over the basis — same rule as the SQL template
+    (bit b set iff 2*count(bit set) > len)."""
+    import numpy as np
+
+    out = []
+    for hs in hb:
+        arr = np.asarray(hs, dtype=np.int64)
+        n = len(arr)
+        v = 0
+        for b in range(32):
+            if 2 * int(((arr >> b) & 1).sum()) > n:
+                v |= 1 << b
+        out.append(v)
+    return pd.Series(out)
+
+
 def simhash(docs: DataFrame) -> DataFrame:
     """Two-stage projection: hash basis column first, then the 32-bit vote
-    over the column — the vote references the basis ~64 times, so inlining
-    the hashing expression would recompute it per bit term."""
+    over the column (Arrow-vectorized — the SQL vote is ~32 interpreted
+    folds per row; the template remains the oracle's definition)."""
     return _hash_basis(docs).select(
-        "doc_id", F.expr(SPARK.simhash32("_hb")).alias("simhash32")
+        "doc_id", _simhash32_udf(F.col("_hb")).alias("simhash32")
     )
 
 
