@@ -230,3 +230,47 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     n_distinct = tr.select(F.md5("text")).distinct().count()
     assert len(got) == n_distinct
     assert all(r["c"] == 1 for r in got)
+
+
+def test_stateful_session_survives_restart(spark, tmp_path):
+    """Exactly-once stateful continuation: drain half the input, restart the
+    query with the SAME checkpoint over the full input — the state store must
+    resume (no duplicate rows, final sessions equal the batch truth)."""
+    from logstash_codec_protobuf_spark.operators import aggregate as agg
+    from logstash_codec_protobuf_spark.streaming.stream import sessionize_stream
+
+    src = str(tmp_path / "restart_src")
+    tr = transcripts_df(spark, SF_DIR)
+    ordered = tr.orderBy("conv_id", "turn_idx").limit(2000).coalesce(1)
+    # phase 1: first file only
+    ordered.filter(F.col("turn_idx") <= 3).coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    ckpt = str(tmp_path / "ckpt_restart")
+    out = str(tmp_path / "restart_out")
+
+    def drain():
+        stream = read_transcript_stream(spark, src)
+        q = (
+            sessionize_stream(stream).writeStream
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(out)
+        )
+        q.awaitTermination(120)
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    # phase 2: append the rest, restart with the same checkpoint
+    ordered.filter(F.col("turn_idx") > 3).coalesce(1).write.mode(
+        "append").parquet(src)
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() > n1
+    # no duplicates across restarts
+    assert got.groupBy("conv_id", "turn_idx").count() \
+        .filter(F.col("count") > 1).isEmpty()
+    # final assignment equals the batch sessionizer on the same rows
+    expected = agg.sessionize(ordered).select(
+        "conv_id", "turn_idx", "session_seq")
+    assert expected.exceptAll(got).isEmpty() and \
+        got.exceptAll(expected).isEmpty()
