@@ -685,6 +685,50 @@ def pb_wire_nested_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pb_wire_dead_letter",
+    _oracle(
+        """
+SELECT 'conv-' || conv_key AS conv_id, turn_idx,
+       event_id % 37 = 0 AS is_error,
+       CASE WHEN event_id % 37 = 0
+            THEN 'payload does not match pb3 wire format' END AS error
+FROM _tr_num
+"""
+    ),
+)
+def pb_wire_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed BINARY payloads dead-letter instead of killing the job
+    (protobuf.rb:225-233 over real wire bytes): every 37th payload is an
+    unterminated varint (0xFF); the decode UDF yields an error row with the
+    original bytes preserved, everything else decodes cleanly."""
+    tr = transcripts_df(spark, sf_dir)
+    parsed = parse_turns(tr, impl="native")
+    p = F.col("parsed")
+    flat = parsed.select(
+        F.coalesce(p["conv_id"], F.col("conv_id")).alias("conv_id"),
+        F.coalesce(p["turn_idx"], F.col("turn_idx")).alias("turn_idx"),
+        p["role"].alias("role"), p["tool"].alias("tool"),
+        p["colour"].alias("colour"), p["cents"].alias("cents"),
+        p["body_type"].alias("body_type"), p["horn"].alias("horn"),
+        p["wings"].alias("wings"), p["msg"].alias("msg"),
+        p["error"].isNotNull().alias("_corrupt"),
+    ).persist()
+    enc = PW.encode_turn_wire(flat, binary=False)
+    enc = enc.withColumn(
+        "payload",
+        F.when(F.col("_corrupt"), F.unhex(F.lit("ff")))
+        .otherwise(F.unhex(F.col("payload_hex"))),
+    )
+    dec = PW.decode_turn_wire(enc)
+    d = F.col("decoded")
+    return dec.select(
+        "conv_id", "turn_idx",
+        d["error"].isNotNull().alias("is_error"),
+        d["error"].alias("error"),
+    )
+
+
+@query(
     "pb_wire_map_entries",
     """
 SELECT event_id, 'c' || CAST(event_id AS STRING) AS name,

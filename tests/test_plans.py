@@ -118,3 +118,15 @@ def test_segmented_sessionize_windows_on_segment_key(spark, tr):
     plan = _executed(agg.sessionize_segmented(tr))
     assert re.search(r"Window .*partitionBy.*_seg|hashpartitioning\(conv_id[^)]*_seg",
                      plan), plan[:1000]
+
+
+def test_tpch_q5_broadcasts_dims_and_pushes_date_filter(spark):
+    """The 6-table join must broadcast the small dims (region/nation/supplier)
+    and push the order-date range to the parquet scan."""
+    from logstash_codec_protobuf_spark.queries import tpch_q5_local_supply
+
+    plan = _executed(tpch_q5_local_supply(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:800]
+    m = re.search(r"PushedFilters: \[([^\]]*GreaterThanOrEqual\(o_orderdate[^\]]*)\]",
+                  plan)
+    assert m, "o_orderdate range not pushed to scan"
