@@ -102,3 +102,29 @@ def fingerprint(d: Dialect, text: str = "text") -> str:
 
 def prefix_fingerprint(d: Dialect, text: str = "text", n: int = 64) -> str:
     return d.poly_hash_str(f"substring({text}, 1, {n})")
+
+
+def poly_hash_col(col, prefix_n: int | None = None):
+    """Arrow-vectorized twin of poly_hash_str for the Spark side (the SQL
+    fold is interpreted per character by Catalyst; the oracle keeps the
+    template). Identical integer arithmetic: acc = (acc*31 + ord(ch)) mod
+    2^31-1 in character order; ``prefix_n`` hashes only the first n chars
+    (== poly_hash_str over substring)."""
+    import pandas as pd
+    from pyspark.sql import functions as F, types as T
+
+    @F.pandas_udf(T.LongType())
+    def _hash(s):
+        from .portable import MOD
+
+        out = []
+        for t in s:
+            if prefix_n is not None:
+                t = t[:prefix_n]
+            acc = 0
+            for ch in t:
+                acc = (acc * 31 + ord(ch)) % MOD
+            out.append(acc)
+        return pd.Series(out)
+
+    return _hash(col)

@@ -1007,11 +1007,12 @@ FROM documents
 """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portable polynomial rolling-hash document fingerprints."""
+    """Portable polynomial rolling-hash document fingerprints
+    (Arrow-vectorized; the SQL template remains the oracle definition)."""
     return _docs(spark, sf_dir).select(
         "doc_id",
-        F.expr(TX.fingerprint(SPARK)).alias("fingerprint"),
-        F.expr(TX.prefix_fingerprint(SPARK)).alias("prefix_fp"),
+        TX.poly_hash_col(F.col("text")).alias("fingerprint"),
+        TX.poly_hash_col(F.col("text"), prefix_n=64).alias("prefix_fp"),
     )
 
 
