@@ -367,6 +367,83 @@ plan grows with executor count except parallelism.
     return report
 
 
+def run_skew(sf_dir: str, sf: str) -> dict:
+    """Hot-conversation window stress: naive vs segmented sessionization on a
+    replicated table where conv-hot stays ONE key (~30% of all rows in a
+    single Window partition). The scaling replicator suffixes replica ids —
+    correct for throughput runs, but it splits the hot key; this mode
+    preserves conv-hot's identity and offsets turn_idx per replica, so the
+    naive plan pays a single-task sort over the whole hot conversation while
+    the segmented plan's sorts stay bounded at seg_size."""
+    from pyspark.sql import functions as F
+
+    from logstash_codec_protobuf_spark.operators import aggregate as agg
+    from logstash_codec_protobuf_spark.sources.transcripts import transcripts_df
+
+    repl = int(os.environ.get("SPARK_GRAFT_SKEW_REPL", "50"))
+    stage = tempfile.mkdtemp(prefix="bench_skew_")
+    spark = make_spark(32)
+    try:
+        tr = transcripts_df(spark, sf_dir)
+        max_turn = tr.agg(F.max("turn_idx")).first()[0]
+        reps = F.explode(F.sequence(F.lit(0), F.lit(repl - 1))).alias("_rep")
+        big = (
+            tr.select("*", reps)
+            .withColumn("turn_idx",
+                        F.col("turn_idx") + F.col("_rep") * (max_turn + 1))
+            .withColumn(
+                "conv_id",
+                F.when(F.col("conv_id") == "conv-hot", F.lit("conv-hot"))
+                .otherwise(F.concat_ws("-r", F.col("conv_id"),
+                                       F.col("_rep").cast("string"))),
+            )
+            .drop("_rep")
+        )
+        big.repartition(256).write.mode("overwrite").parquet(stage)
+        t = spark.read.parquet(stage)
+        n = t.count()
+        hot = t.filter(F.col("conv_id") == "conv-hot").count()
+
+        def run(segmented):
+            return _timed(lambda: agg.session_stats(
+                t, segmented=segmented).count())
+
+        run(True)  # warm
+        seg = min(run(True) for _ in range(2))
+        naive = min(run(False) for _ in range(2))
+        report = {
+            "sf": sf, "replication": repl, "n_turns": n,
+            "hot_conv_rows": hot, "hot_fraction": round(hot / n, 3),
+            "session_stats_naive_sec": round(naive, 2),
+            "session_stats_segmented_sec": round(seg, 2),
+            "speedup": round(naive / seg, 2),
+        }
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/skew_window_latest.md", "w") as f:
+            f.write(f"""# Hot-key window stress — naive vs segmented sessionization
+
+Input: sf{sf} transcripts x{repl} with conv-hot PRESERVED as one key
+({n:,} turns, hot conversation = {hot:,} rows = {hot / n:.0%} of the table).
+`Window.partitionBy(conv_id)` puts all of it through ONE task's sort; the
+segment-and-merge plan (seg_size=1024 windows + a 1/1024-size merge level)
+bounds every sort. Result-identical (tests/test_aggregate.py).
+
+| plan | wall sec |
+| --- | --- |
+| naive single window | {naive:.2f} |
+| segment-and-merge   | {seg:.2f} |
+
+Speedup at this scale: **{naive / seg:.2f}x** — and the gap is structural:
+the naive plan's wall clock is lower-bounded by one core sorting the hot
+conversation, so it grows linearly with the hot key while the segmented
+plan keeps scaling with the cluster.
+""")
+        return report
+    finally:
+        spark.stop()
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -374,6 +451,10 @@ def main() -> None:
 
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir, sf)))
+        return
+
+    if "--skew" in sys.argv:
+        print(json.dumps(run_skew(sf_dir, sf)))
         return
 
     r = run_once(cpus, sf_dir)

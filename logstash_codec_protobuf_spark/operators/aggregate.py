@@ -153,8 +153,14 @@ def sessionize_segmented(df: DataFrame, gap_minutes: int = 30,
         (F.coalesce(cum_before, F.lit(0)) + F.col("_head_flag"))
         .alias("_offset"),
     )
+    # BROADCAST the offsets: one row per segment (a seg_size-fold reduction),
+    # so a sort-merge join here would re-sort the ENTIRE input on the join
+    # key — measured slower than the naive plan it replaces. At scales where
+    # even offsets outgrow the broadcast threshold, drop the hint and bucket
+    # both sides by (conv_id, _seg); the window output is already partitioned
+    # that way, so only the summary side shuffles.
     return (
-        d.join(offsets, ["conv_id", "_seg"])
+        d.join(F.broadcast(offsets), ["conv_id", "_seg"])
         .withColumn("session_seq",
                     (F.col("_run") + F.col("_offset")).cast("int"))
         .drop("_seg", "_us", "_flag", "_run", "_offset")
