@@ -588,8 +588,8 @@ def pb2_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pb_wire_uint64_bytes",
     """
 SELECT event_id,
-       CAST(CAST('9223372036854775808' AS DECIMAL(20,0)) + event_id
-            AS DECIMAL(20,0)) AS id,
+       CAST(CAST(CAST('9223372036854775808' AS DECIMAL(20,0)) + event_id
+                 AS DECIMAL(20,0)) AS VARCHAR) AS id,
        CAST(event_id % 100 AS BIGINT) AS response_code,
        substring(md5(CAST(event_id AS STRING)), 1, 16) AS payload_hex
 FROM events
@@ -599,7 +599,9 @@ def pb_wire_uint64_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """uint64 above int64 range + raw bytes through REAL wire bytes
     (dnsmessage fixture, spec/codecs/pb3_decode_spec.rb:172-241): every id is
     >= 2^63, so any LongType leak corrupts it — DECIMAL(20,0) carries the
-    full unsigned range through encode, varint decode, and the result."""
+    full unsigned range through encode, varint decode, and the result;
+    the driver comparison is done on the STRING rendering because pandas
+    collapses DuckDB DECIMAL(20,0) to float64 (lossy above 2^53)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         F.expr("CAST('9223372036854775808' AS DECIMAL(20,0)) + event_id")
@@ -612,7 +614,7 @@ def pb_wire_uint64_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("decoded")
     return out.select(
         "event_id",
-        d["id"].alias("id"),
+        d["id"].cast("string").alias("id"),
         d["response_code"].alias("response_code"),
         F.lower(F.hex(d["payload"])).alias("payload_hex"),
     )
@@ -631,9 +633,10 @@ SELECT t.event_id,
        'u' || CAST(t.event_id AS STRING) AS name,
        CAST(t.event_id % 30 AS INTEGER) AS age,
        e1.name AS fur_colour,
-       [e1.name, e2.name] AS favourite_colours,
-       [CAST(t.event_id % 10 AS INTEGER), CAST(t.event_id % 100 AS INTEGER),
-        150] AS favourite_numbers,
+       array_to_string([e1.name, e2.name], ',') AS favourite_colours,
+       array_to_string([CAST(t.event_id % 10 AS INTEGER),
+                        CAST(t.event_id % 100 AS INTEGER), 150],
+                       ',') AS favourite_numbers,
        t.event_id % 2 = 0 AS is_pegasus,
        'm' || CAST(t.event_id AS STRING) AS mother_name,
        CAST(t.event_id % 30 + 20 AS INTEGER) AS mother_age,
@@ -675,8 +678,9 @@ def pb_wire_nested_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         d["name"].alias("name"), d["age"].alias("age"),
         d["fur_colour"].alias("fur_colour"),
-        d["favourite_colours"].alias("favourite_colours"),
-        d["favourite_numbers"].alias("favourite_numbers"),
+        F.array_join(d["favourite_colours"], ",").alias("favourite_colours"),
+        F.array_join(d["favourite_numbers"].cast("array<string>"), ",")
+        .alias("favourite_numbers"),
         d["is_pegasus"].alias("is_pegasus"),
         d["mother_name"].alias("mother_name"),
         d["mother_age"].alias("mother_age"),
@@ -1313,9 +1317,9 @@ def tpch_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_supply",
     """
 SELECT n.n_name AS nation,
-       SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100)
-                AS BIGINT)) AS revenue_c,
-       COUNT(*) AS n_items
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
