@@ -91,6 +91,59 @@ def py_field_string(field_num: int, value: str) -> bytes:
     return py_field_len(field_num, value.encode("utf-8"))
 
 
+def py_field_double(field_num: int, value: float) -> bytes:
+    """fixed64 IEEE-754 little-endian (wire type 1)."""
+    import struct as _struct
+
+    return py_tag(field_num, WT_FIXED64) + _struct.pack("<d", value)
+
+
+def py_field_float(field_num: int, value: float) -> bytes:
+    """fixed32 IEEE-754 little-endian (wire type 5); value is rounded to
+    float32 by the pack, exactly as a real proto encoder does."""
+    import struct as _struct
+
+    return py_tag(field_num, WT_FIXED32) + _struct.pack("<f", value)
+
+
+# -- google.protobuf.Struct (well-known type) -------------------------------
+# Struct { map<string, Value> fields = 1 }
+# Value  { oneof kind: null_value=1, number_value(double)=2, string_value=3,
+#          bool_value=4, struct_value=5, list_value=6 }
+# ListValue { repeated Value values = 1 }
+
+def py_value(v) -> bytes:
+    """One google.protobuf.Value message. oneof members are emitted even at
+    their default (False / 0.0 / '') — the chosen-member rule."""
+    import struct as _struct
+
+    if v is None:
+        return py_field_varint(1, 0)  # NullValue.NULL_VALUE
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return py_field_varint(4, 1 if v else 0)
+    if isinstance(v, (int, float)):
+        return py_tag(2, WT_FIXED64) + _struct.pack("<d", float(v))
+    if isinstance(v, str):
+        return py_field_string(3, v)
+    if isinstance(v, dict):
+        return py_field_len(5, py_struct(v))
+    if isinstance(v, (list, tuple)):
+        return py_field_len(
+            6, b"".join(py_field_len(1, py_value(x)) for x in v)
+        )
+    raise TypeError(f"unsupported Struct value: {type(v)}")
+
+
+def py_struct(d: dict) -> bytes:
+    """google.protobuf.Struct wire bytes: each fields entry is a map entry
+    message {1: key(string), 2: value(Value)}."""
+    buf = b""
+    for k, v in d.items():
+        entry = py_field_string(1, k) + py_field_len(2, py_value(v))
+        buf += py_field_len(1, entry)
+    return buf
+
+
 # ---------------------------------------------------------------------------
 # portable SQL templates (hex-string output)
 # ---------------------------------------------------------------------------

@@ -74,6 +74,44 @@ def turn_order_check(df: DataFrame) -> DataFrame:
     )
 
 
+def turn_order_segmented(df: DataFrame, seg_size: int = 1024) -> DataFrame:
+    """Result-identical to ``turn_order_check`` without the hot-key sort wall.
+
+    ``row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)`` funnels
+    every row of the planted hot conversation (~30% of the table,
+    sources/transcripts.py) through ONE task's sort. rank is a prefix COUNT —
+    the same parallel-scan decomposition as ``sessionize_segmented``:
+
+    1. within-segment row_number over (conv_id, floor((turn_idx-1)/seg_size))
+       — bounded sorts, hot key spread over n/seg_size tasks;
+    2. per-segment row counts (seg_size-fold reduction);
+    3. cumulative count of earlier segments per conversation = the offset;
+    4. broadcast-join offsets back (tiny: one row per segment — an SMJ here
+       would re-sort the whole input, measured on sessionize).
+
+    rank(row) = offset(segment) + within-segment row_number. Exact whenever
+    turn_idx is unique per conversation — the same determinism the naive
+    window (and any SQL oracle of it) already requires.
+    """
+    d = df.withColumn("_seg", F.floor((F.col("turn_idx") - 1) / seg_size))
+    w = Window.partitionBy("conv_id", "_seg").orderBy("turn_idx")
+    d = d.withColumn("_r", F.row_number().over(w))
+    segs = d.groupBy("conv_id", "_seg").agg(F.count(F.lit(1)).alias("_n"))
+    ws = Window.partitionBy("conv_id").orderBy("_seg")
+    offsets = segs.select(
+        "conv_id", "_seg",
+        F.coalesce(
+            F.sum("_n").over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_offset"),
+    )
+    return (
+        d.join(F.broadcast(offsets), ["conv_id", "_seg"])
+        .withColumn("turn_rank", (F.col("_r") + F.col("_offset")).cast("int"))
+        .drop("_seg", "_r", "_offset")
+    )
+
+
 def sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based session assignment within each conversation: a turn more than
     `gap_minutes` after its predecessor starts a new session. The lag +

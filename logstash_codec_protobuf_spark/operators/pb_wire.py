@@ -32,6 +32,7 @@ Wire parser semantics mirrored from the reference:
 
 from __future__ import annotations
 
+import json
 import struct
 from decimal import Decimal
 
@@ -86,7 +87,7 @@ def _varint_value(v: int, ftype: str):
 def _scalar_kind(ftype: str) -> str:
     if ftype in _VARINT_TYPES or ftype.startswith("enum:"):
         return "varint"
-    if ftype in ("string", "bytes"):
+    if ftype in ("string", "bytes", "struct"):
         return "len"
     if ftype == "float":
         return "fixed32"
@@ -139,7 +140,7 @@ def _decode_plan(registry: SchemaRegistry, message: str, proto_version: int
     for f in spec.fields:
         if f.repeated or f.type.startswith("map<"):
             template[f.name] = list if f.repeated else dict  # sentinel ctor
-        elif f.oneof or f.type.startswith("message:"):
+        elif f.oneof or f.type == "struct" or f.type.startswith("message:"):
             template[f.name] = None
         elif f.type.startswith("enum:"):
             enum = registry.enums[f.type[5:]]
@@ -223,6 +224,12 @@ def py_decode(buf: bytes, registry: SchemaRegistry, message: str,
                     raise ValueError(WIRE_ERROR) from e
             elif f.type == "bytes":
                 val = data
+            elif f.type == "struct":
+                # google.protobuf.Struct (protobuf.rb:290-294): arbitrary
+                # JSON in the well-known map<string,Value> encoding —
+                # surfaced as a canonical (sorted-key) JSON string.
+                val = json.dumps(_decode_struct(data), sort_keys=True,
+                                 separators=(",", ":"))
             elif f.type.startswith("message:"):
                 val = py_decode(data, registry, f.type[8:], proto_version,
                                 depth - 1)
@@ -250,6 +257,93 @@ def py_decode(buf: bytes, registry: SchemaRegistry, message: str,
                 out[prev] = None  # last oneof member on the wire wins
             chosen[group] = f.name
     out["_pb_oneof"] = chosen
+    return out
+
+
+def _decode_struct(data: bytes) -> dict:
+    """google.protobuf.Struct -> Python dict. Struct is
+    ``map<string, Value> fields = 1``; each entry is a message {1:k, 2:Value}."""
+    out: dict = {}
+    pos = 0
+    while pos < len(data):
+        tag, pos = read_varint(data, pos)
+        fnum, wt = tag >> 3, tag & 7
+        if fnum != 1 or wt != 2:
+            raise ValueError(WIRE_ERROR)
+        ln, pos = read_varint(data, pos)
+        if pos + ln > len(data):
+            raise ValueError(WIRE_ERROR)
+        entry = data[pos:pos + ln]
+        pos += ln
+        key, val = "", None
+        epos = 0
+        while epos < len(entry):
+            etag, epos = read_varint(entry, epos)
+            efnum, ewt = etag >> 3, etag & 7
+            if ewt != 2:
+                raise ValueError(WIRE_ERROR)
+            eln, epos = read_varint(entry, epos)
+            chunk = entry[epos:epos + eln]
+            epos += eln
+            if efnum == 1:
+                key = chunk.decode("utf-8")
+            elif efnum == 2:
+                val = _decode_value(chunk)
+        out[key] = val
+    return out
+
+
+def _decode_value(buf: bytes):
+    """One google.protobuf.Value: a oneof over null/number/string/bool/
+    struct/list — last member on the wire wins (the general oneof rule)."""
+    pos = 0
+    val = None
+    while pos < len(buf):
+        tag, pos = read_varint(buf, pos)
+        fnum, wt = tag >> 3, tag & 7
+        if wt == 0:
+            raw, pos = read_varint(buf, pos)
+            if fnum == 1:
+                val = None          # NullValue
+            elif fnum == 4:
+                val = raw != 0      # bool_value
+            else:
+                raise ValueError(WIRE_ERROR)
+        elif wt == 1:
+            if pos + 8 > len(buf) or fnum != 2:
+                raise ValueError(WIRE_ERROR)
+            val = struct.unpack("<d", buf[pos:pos + 8])[0]  # number_value
+            pos += 8
+        elif wt == 2:
+            ln, pos = read_varint(buf, pos)
+            if pos + ln > len(buf):
+                raise ValueError(WIRE_ERROR)
+            chunk = buf[pos:pos + ln]
+            pos += ln
+            if fnum == 3:
+                val = chunk.decode("utf-8")        # string_value
+            elif fnum == 5:
+                val = _decode_struct(chunk)        # struct_value
+            elif fnum == 6:
+                val = _decode_list_value(chunk)    # list_value
+            else:
+                raise ValueError(WIRE_ERROR)
+        else:
+            raise ValueError(WIRE_ERROR)
+    return val
+
+
+def _decode_list_value(data: bytes) -> list:
+    """ListValue { repeated Value values = 1 }."""
+    out = []
+    pos = 0
+    while pos < len(data):
+        tag, pos = read_varint(data, pos)
+        if tag >> 3 != 1 or tag & 7 != 2:
+            raise ValueError(WIRE_ERROR)
+        ln, pos = read_varint(data, pos)
+        out.append(_decode_value(data[pos:pos + ln]))
+        pos += ln
     return out
 
 
@@ -688,3 +782,381 @@ def dns_roundtrip(df: DataFrame, registry: SchemaRegistry | None = None
                         F.col("payload_bin")),
     )
     return enc.withColumn("decoded", _make_dns_decode_udf(reg)(F.col("payload")))
+
+
+# ---------------------------------------------------------------------------
+# float (fixed32) + double (fixed64) on the wire
+# (ProbeResult latency double: spec/helpers/pb3/ProbeResult_pb.rb:13;
+#  RUM user-agent major/minor float: spec/helpers/pb3/rum_pb.rb:41-44)
+# ---------------------------------------------------------------------------
+
+PROBE_UA_DECODED = T.StructType([
+    T.StructField("uuid", T.StringType()),
+    T.StructField("status", T.StringType()),      # pb3 enum name
+    T.StructField("latency", T.DoubleType()),     # fixed64
+    T.StructField("ip", T.StringType()),
+    T.StructField("family", T.StringType()),
+    T.StructField("major", T.FloatType()),        # fixed32
+    T.StructField("minor", T.FloatType()),        # fixed32
+    T.StructField("os", T.StringType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+@F.pandas_udf(T.BinaryType())
+def _encode_probe_udf(uuid: pd.Series, status: pd.Series, latency: pd.Series,
+                      ip: pd.Series) -> pd.Series:
+    """probe_result wire bytes: nested PingIPv4Result with a fixed64 IEEE
+    double. proto3 implicit presence: 0.0 doubles are omitted (and re-emerge
+    as the decoded default), the nested message is serialized whenever the
+    task was set — mirroring how the reference's probe fixture always carries
+    TaskPingIPv4Result (ProbeResult_pb.rb:9)."""
+    from ..functions.wire import (
+        py_field_double, py_field_len, py_field_string, py_field_varint,
+    )
+
+    out = []
+    for u, st, lat, i in zip(uuid, status, latency, ip):
+        task = b""
+        if int(st):
+            task += py_field_varint(2, int(st))
+        if float(lat) != 0.0:
+            task += py_field_double(3, float(lat))
+        if i:
+            task += py_field_string(4, i)
+        buf = b""
+        if u:
+            buf += py_field_string(1, u)
+        buf += py_field_len(2, task)
+        out.append(buf)
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def _encode_ua_udf(family: pd.Series, major: pd.Series, minor: pd.Series,
+                   os: pd.Series) -> pd.Series:
+    """user_agent wire bytes: fixed32 IEEE floats at non-contiguous field
+    numbers 2 and 4 (rum_pb.rb:41-44)."""
+    from ..functions.wire import py_field_float, py_field_string
+
+    out = []
+    for fam, ma, mi, o in zip(family, major, minor, os):
+        buf = b""
+        if fam:
+            buf += py_field_string(1, fam)
+        if float(ma) != 0.0:
+            buf += py_field_float(2, float(ma))
+        if float(mi) != 0.0:
+            buf += py_field_float(4, float(mi))
+        if o:
+            buf += py_field_string(7, o)
+        out.append(buf)
+    return pd.Series(out)
+
+
+def _make_probe_ua_decode_udf(registry: SchemaRegistry):
+    @F.pandas_udf(PROBE_UA_DECODED)
+    def _decode(probe_payload: pd.Series, ua_payload: pd.Series) -> pd.DataFrame:
+        names = [f.name for f in PROBE_UA_DECODED]
+        cols: dict[str, list] = {n: [] for n in names}
+        for pb, ub in zip(probe_payload, ua_payload):
+            try:
+                p = py_decode(bytes(pb), registry, "probe_result")
+                ua = py_decode(bytes(ub), registry, "user_agent")
+                task = p["task"] or {}
+                cols["uuid"].append(p["uuid"])
+                cols["status"].append(task.get("status"))
+                cols["latency"].append(task.get("latency"))
+                cols["ip"].append(task.get("ip"))
+                cols["family"].append(ua["family"])
+                cols["major"].append(ua["major"])
+                cols["minor"].append(ua["minor"])
+                cols["os"].append(ua["os"])
+                cols["error"].append(None)
+            except ValueError:
+                for n in names:
+                    cols[n].append(None if n != "error" else WIRE_ERROR)
+        return pd.DataFrame(cols, columns=names)
+
+    return _decode
+
+
+def probe_ua_roundtrip(df: DataFrame, registry: SchemaRegistry | None = None
+                       ) -> DataFrame:
+    """Encode (uuid, status, latency, ip) as probe_result and (ua_family,
+    ua_major, ua_minor, ua_os) as user_agent wire bytes, decode both back ->
+    ``decoded`` struct. Exercises wire types 1 (fixed64 double) and 5
+    (fixed32 float) end to end, bit-exact IEEE round trips."""
+    reg = registry if registry is not None else default_registry()
+    enc = df.withColumn(
+        "probe_payload",
+        _encode_probe_udf(F.col("uuid"), F.col("status"), F.col("latency"),
+                          F.col("ip")),
+    ).withColumn(
+        "ua_payload",
+        _encode_ua_udf(F.col("ua_family"), F.col("ua_major"),
+                       F.col("ua_minor"), F.col("ua_os")),
+    )
+    return enc.withColumn(
+        "decoded",
+        _make_probe_ua_decode_udf(reg)(F.col("probe_payload"),
+                                       F.col("ua_payload")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repeated nested messages on the wire: dns_message.question
+# (spec/helpers/pb3/events_pb.rb:11-12 pattern, exercised
+#  spec/codecs/pb3_decode_spec.rb:311-335; dnsmessage_pb.rb:8-13)
+# ---------------------------------------------------------------------------
+
+DNS_Q_DECODED = T.StructType([
+    T.StructField("id", T.DecimalType(20, 0)),
+    T.StructField("questions", T.ArrayType(T.StructType([
+        T.StructField("name", T.StringType()),   # bytes, generator emits ASCII
+        T.StructField("qtype", T.LongType()),
+        T.StructField("qclass", T.LongType()),
+    ]))),
+    T.StructField("error", T.StringType()),
+])
+
+
+@F.pandas_udf(T.BinaryType())
+def _encode_dns_questions_udf(id_dec: pd.Series, q_names: pd.Series,
+                              q_types: pd.Series, q_classes: pd.Series
+                              ) -> pd.Series:
+    """dns_message wire bytes with REPEATED message field 4: each question is
+    its own length-delimited sub-message, repeated by emitting the tag once
+    per element (the unpacked encoding messages always use)."""
+    from ..functions.wire import py_field_len, py_field_varint
+
+    out = []
+    for i, ns, ts, cs in zip(id_dec, q_names, q_types, q_classes):
+        buf = py_field_varint(1, int(i))
+        for n, t, c in zip(ns, ts, cs):
+            q = py_field_len(1, n.encode("utf-8"))
+            if int(t):
+                q += py_field_varint(2, int(t))
+            if int(c):
+                q += py_field_varint(3, int(c))
+            buf += py_field_len(4, q)
+        out.append(buf)
+    return pd.Series(out)
+
+
+def _make_dns_questions_decode_udf(registry: SchemaRegistry):
+    @F.pandas_udf(DNS_Q_DECODED)
+    def _decode(payload: pd.Series) -> pd.DataFrame:
+        cols: dict[str, list] = {"id": [], "questions": [], "error": []}
+        for buf in payload:
+            try:
+                d = py_decode(bytes(buf), registry, "dns_message")
+                cols["id"].append(Decimal(d["id"]))
+                cols["questions"].append([
+                    (q["name"].decode("utf-8"), q["qtype"], q["qclass"])
+                    for q in d["question"]
+                ])
+                cols["error"].append(None)
+            except (ValueError, UnicodeDecodeError):
+                cols["id"].append(None)
+                cols["questions"].append(None)
+                cols["error"].append(WIRE_ERROR)
+        return pd.DataFrame(cols)
+
+    return _decode
+
+
+def dns_questions_roundtrip(df: DataFrame,
+                            registry: SchemaRegistry | None = None
+                            ) -> DataFrame:
+    """Encode (id_dec, q_names, q_types, q_classes) as a dns_message with a
+    populated REPEATED nested-message field and decode back. Each element
+    carries its own proto3 defaults (qtype/qclass omitted at 0)."""
+    reg = registry if registry is not None else default_registry()
+    enc = df.withColumn(
+        "payload",
+        _encode_dns_questions_udf(F.col("id_dec"), F.col("q_names"),
+                                  F.col("q_types"), F.col("q_classes")),
+    )
+    return enc.withColumn(
+        "decoded", _make_dns_questions_decode_udf(reg)(F.col("payload"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# depth-3 recursion on the wire: human mother/father lineage, pb2 dialect
+# (spec/helpers/pb2/human.pb.rb:16-17; walked 3 generations deep in
+#  spec/codecs/pb2_spec.rb:43-77 — grandma = mother.mother.first_name)
+# ---------------------------------------------------------------------------
+
+LINEAGE_DECODED = T.StructType([
+    T.StructField("first_name", T.StringType()),
+    T.StructField("last_name", T.StringType()),
+    T.StructField("age", T.IntegerType()),
+    T.StructField("mother_first", T.StringType()),
+    T.StructField("mother_age", T.IntegerType()),
+    T.StructField("grandma_first", T.StringType()),
+    T.StructField("grandma_age", T.IntegerType()),
+    T.StructField("father_first", T.StringType()),
+    T.StructField("father_age", T.IntegerType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+@F.pandas_udf(T.BinaryType())
+def _encode_human_udf(first: pd.Series, last: pd.Series, age: pd.Series,
+                      m_first: pd.Series, m_age: pd.Series,
+                      gm_first: pd.Series, gm_age: pd.Series,
+                      f_first: pd.Series, f_age: pd.Series) -> pd.Series:
+    """human wire bytes, three generations on the mother line (self ->
+    mother -> mother.mother) plus a father — pb2 dialect (explicit presence:
+    only set fields are serialized)."""
+    from ..functions.wire import py_field_len, py_field_string, py_field_varint
+
+    def person(fn, a, mother: bytes | None = None) -> bytes:
+        buf = py_field_string(1, fn)
+        if mother is not None:
+            buf += py_field_len(4, mother)
+        buf += py_field_varint(6, int(a))
+        return buf
+
+    out = []
+    for fi, la, a, mf, ma, gf, ga, ff, fa in zip(
+            first, last, age, m_first, m_age, gm_first, gm_age,
+            f_first, f_age):
+        grandma = person(gf, ga)
+        mother = person(mf, ma, mother=grandma)
+        father = person(ff, fa)
+        buf = py_field_string(1, fi) + py_field_string(3, la)
+        buf += py_field_len(4, mother) + py_field_len(5, father)
+        buf += py_field_varint(6, int(a))
+        out.append(buf)
+    return pd.Series(out)
+
+
+def _make_human_decode_udf(registry: SchemaRegistry):
+    @F.pandas_udf(LINEAGE_DECODED)
+    def _decode(payload: pd.Series) -> pd.DataFrame:
+        names = [f.name for f in LINEAGE_DECODED]
+        cols: dict[str, list] = {n: [] for n in names}
+        for buf in payload:
+            try:
+                d = py_decode(bytes(buf), registry, "human", proto_version=2)
+                m = d["mother"] or {}
+                gm = m.get("mother") or {}
+                f = d["father"] or {}
+                cols["first_name"].append(d["first_name"])
+                cols["last_name"].append(d["last_name"])
+                cols["age"].append(d["age"])
+                cols["mother_first"].append(m.get("first_name"))
+                cols["mother_age"].append(m.get("age"))
+                cols["grandma_first"].append(gm.get("first_name"))
+                cols["grandma_age"].append(gm.get("age"))
+                cols["father_first"].append(f.get("first_name"))
+                cols["father_age"].append(f.get("age"))
+                cols["error"].append(None)
+            except ValueError:
+                for n in names:
+                    cols[n].append(None if n != "error" else WIRE_ERROR)
+        out = pd.DataFrame(cols, columns=names)
+        for c in ("age", "mother_age", "grandma_age", "father_age"):
+            out[c] = out[c].astype("Int64")
+        return out
+
+    return _decode
+
+
+def human_lineage_roundtrip(df: DataFrame,
+                            registry: SchemaRegistry | None = None
+                            ) -> DataFrame:
+    """Encode (h_first, h_last, h_age, m_first, m_age, gm_first, gm_age,
+    f_first, f_age) as a 3-generation human message and decode back —
+    the pb2_spec.rb:43-77 walk (``mother.mother.first_name``) over real
+    wire bytes."""
+    reg = registry if registry is not None else default_registry()
+    enc = df.withColumn(
+        "payload",
+        _encode_human_udf(
+            F.col("h_first"), F.col("h_last"), F.col("h_age"),
+            F.col("m_first"), F.col("m_age"),
+            F.col("gm_first"), F.col("gm_age"),
+            F.col("f_first"), F.col("f_age"),
+        ),
+    )
+    return enc.withColumn("decoded",
+                          _make_human_decode_udf(reg)(F.col("payload")))
+
+
+# ---------------------------------------------------------------------------
+# google.protobuf.Struct on the wire (protobuf.rb:290-294;
+#  spec/helpers/pb3/struct_test_pb.rb:8-14)
+# ---------------------------------------------------------------------------
+
+STRUCT_DECODED = T.StructType([
+    T.StructField("user_id", T.StringType()),
+    T.StructField("details_json", T.StringType()),  # canonical sorted-key JSON
+    T.StructField("error", T.StringType()),
+])
+
+
+@F.pandas_udf(T.BinaryType())
+def _encode_struct_req_udf(user_id: pd.Series, vendor: pd.Series,
+                           count: pd.Series, active: pd.Series,
+                           tag1: pd.Series, tag2: pd.Series,
+                           lat: pd.Series, city: pd.Series) -> pd.Series:
+    """send_json_request wire bytes: UserID + a Details Struct holding every
+    Value kind — string, number (double), bool, null, a nested struct, and a
+    list — in the well-known map<string,Value> encoding."""
+    from ..functions.wire import py_field_len, py_field_string, py_struct
+
+    out = []
+    for u, v, c, a, t1, t2, la, ci in zip(user_id, vendor, count, active,
+                                          tag1, tag2, lat, city):
+        details = {
+            "vendor": v,
+            "count": float(c),
+            "active": bool(a),
+            "note": None,
+            "tags": [t1, t2],
+            "geo": {"lat": float(la), "city": ci},
+        }
+        buf = py_field_string(1, u) + py_field_len(2, py_struct(details))
+        out.append(buf)
+    return pd.Series(out)
+
+
+def _make_struct_req_decode_udf(registry: SchemaRegistry):
+    @F.pandas_udf(STRUCT_DECODED)
+    def _decode(payload: pd.Series) -> pd.DataFrame:
+        cols: dict[str, list] = {"user_id": [], "details_json": [], "error": []}
+        for buf in payload:
+            try:
+                d = py_decode(bytes(buf), registry, "send_json_request")
+                cols["user_id"].append(d["user_id"])
+                cols["details_json"].append(d["details"])
+                cols["error"].append(None)
+            except ValueError:
+                cols["user_id"].append(None)
+                cols["details_json"].append(None)
+                cols["error"].append(WIRE_ERROR)
+        return pd.DataFrame(cols)
+
+    return _decode
+
+
+def struct_roundtrip(df: DataFrame, registry: SchemaRegistry | None = None
+                     ) -> DataFrame:
+    """Encode (user_id, s_vendor, s_count, s_active, s_tag1, s_tag2, s_lat,
+    s_city) as send_json_request wire bytes (Details = google.protobuf.Struct)
+    and decode back -> ``decoded`` struct with the Struct as canonical JSON."""
+    reg = registry if registry is not None else default_registry()
+    enc = df.withColumn(
+        "payload",
+        _encode_struct_req_udf(
+            F.col("user_id"), F.col("s_vendor"), F.col("s_count"),
+            F.col("s_active"), F.col("s_tag1"), F.col("s_tag2"),
+            F.col("s_lat"), F.col("s_city"),
+        ),
+    )
+    return enc.withColumn("decoded",
+                          _make_struct_req_decode_udf(reg)(F.col("payload")))

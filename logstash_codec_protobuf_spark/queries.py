@@ -302,8 +302,13 @@ FROM transcripts
     ),
 )
 def turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stable turn ordering + per-turn text equality (input_hint invariant)."""
-    return agg.turn_order_check(transcripts_df(spark, sf_dir))
+    """Stable turn ordering + per-turn text equality (input_hint invariant).
+    Segment-and-merge rank: the hot conversation never funnels through one
+    task's sort (aggregate.turn_order_segmented; naive window kept for the
+    --skew bench comparison)."""
+    return agg.turn_order_segmented(transcripts_df(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "text", "turn_rank"
+    )
 
 
 @query(
@@ -767,6 +772,218 @@ def pb_wire_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "name",
         F.col("ph")["label"].alias("label"),
         F.col("ph")["number"].alias("number"),
+    )
+
+
+@query(
+    "pb_wire_float_double",
+    """
+SELECT event_id,
+       'uuid-' || CAST(event_id AS STRING) AS uuid,
+       CASE WHEN event_id % 2 = 0 THEN 'OK' ELSE 'ERROR' END AS status,
+       CASE WHEN event_id % 50 = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE event_id * CAST(0.001 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+       END AS latency,
+       '10.0.0.' || CAST(event_id % 256 AS STRING) AS ip,
+       'fam' || CAST(event_id % 5 AS STRING) AS family,
+       CASE WHEN event_id % 40 = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(CAST(event_id % 100 AS REAL) + CAST(0.25 AS REAL)
+                      AS DOUBLE)
+       END AS major_d,
+       CAST(CAST(event_id * CAST(0.1 AS DOUBLE) AS REAL) AS DOUBLE) AS minor_d,
+       'os' || CAST(event_id % 3 AS STRING) AS os
+FROM events
+""",
+)
+def pb_wire_float_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """float (fixed32, wire type 5) and double (fixed64, wire type 1) through
+    REAL wire bytes: ProbeResult.latency double nested one message deep
+    (spec/helpers/pb3/ProbeResult_pb.rb:13) + RUM user-agent major/minor
+    floats (spec/helpers/pb3/rum_pb.rb:41-44). IEEE round trips are bit-exact
+    — 0-valued fields are omitted on the wire and re-emerge as proto3
+    defaults; the float32 rounding of event_id*0.1 is identical in Spark and
+    DuckDB (both IEEE round-to-nearest), so the oracle compares exactly with
+    no truncation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("uuid-"), F.col("event_id").cast("string"))
+        .alias("uuid"),
+        (F.col("event_id") % 2).cast("int").alias("status"),
+        F.when(F.col("event_id") % 50 == 0, F.lit(0.0))
+        .otherwise(F.col("event_id") * 0.001 + 0.5).alias("latency"),
+        F.concat(F.lit("10.0.0."), (F.col("event_id") % 256).cast("string"))
+        .alias("ip"),
+        F.concat(F.lit("fam"), (F.col("event_id") % 5).cast("string"))
+        .alias("ua_family"),
+        F.when(F.col("event_id") % 40 == 0, F.lit(0.0))
+        .otherwise((F.col("event_id") % 100).cast("float")
+                   + F.lit(0.25).cast("float"))
+        .cast("float").alias("ua_major"),
+        (F.col("event_id") * 0.1).cast("float").alias("ua_minor"),
+        F.concat(F.lit("os"), (F.col("event_id") % 3).cast("string"))
+        .alias("ua_os"),
+    )
+    out = PW.probe_ua_roundtrip(ev)
+    d = F.col("decoded")
+    return out.select(
+        "event_id",
+        d["uuid"].alias("uuid"), d["status"].alias("status"),
+        d["latency"].alias("latency"), d["ip"].alias("ip"),
+        d["family"].alias("family"),
+        d["major"].cast("double").alias("major_d"),
+        d["minor"].cast("double").alias("minor_d"),
+        d["os"].alias("os"),
+    )
+
+
+@query(
+    "pb_wire_repeated_message",
+    """
+SELECT event_id, CAST(0 AS INTEGER) AS pos,
+       'h' || CAST(event_id AS STRING) || '.example' AS name,
+       CAST(event_id % 16 AS BIGINT) AS qtype, CAST(1 AS BIGINT) AS qclass
+FROM events
+UNION ALL
+SELECT event_id, CAST(1 AS INTEGER) AS pos,
+       'alt' || CAST(event_id AS STRING) AS name,
+       CAST(28 AS BIGINT) AS qtype, CAST(event_id % 3 AS BIGINT) AS qclass
+FROM events
+""",
+)
+def pb_wire_repeated_message(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPEATED nested-message field through REAL wire bytes —
+    dns_message.question (dnsmessage_pb.rb:8-13; the repeated-messages decode
+    scenario of spec/codecs/pb3_decode_spec.rb:311-335): each element is its
+    own length-delimited sub-message with its own proto3 defaults (qtype 0 /
+    qclass 0 omitted on the wire, re-emitted on decode). Decoded arrays are
+    posexploded to rows so the comparison is scalar-only and order-pinned."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("event_id").cast("decimal(20,0)").alias("id_dec"),
+        F.array(
+            F.concat(F.lit("h"), F.col("event_id").cast("string"),
+                     F.lit(".example")),
+            F.concat(F.lit("alt"), F.col("event_id").cast("string")),
+        ).alias("q_names"),
+        F.array((F.col("event_id") % 16).cast("int"), F.lit(28))
+        .alias("q_types"),
+        F.array(F.lit(1), (F.col("event_id") % 3).cast("int"))
+        .alias("q_classes"),
+    )
+    out = PW.dns_questions_roundtrip(ev)
+    d = F.col("decoded")
+    exploded = out.select(
+        "event_id", F.posexplode(d["questions"]).alias("pos", "q")
+    )
+    return exploded.select(
+        "event_id", "pos",
+        F.col("q")["name"].alias("name"),
+        F.col("q")["qtype"].alias("qtype"),
+        F.col("q")["qclass"].alias("qclass"),
+    )
+
+
+@query(
+    "pb2_wire_lineage",
+    """
+SELECT event_id,
+       'hf' || CAST(event_id AS STRING) AS first_name,
+       'hl' || CAST(event_id % 100 AS STRING) AS last_name,
+       CAST(event_id % 80 + 1 AS INTEGER) AS age,
+       'mf' || CAST(event_id AS STRING) AS mother_first,
+       CAST(event_id % 60 + 20 AS INTEGER) AS mother_age,
+       'gm' || CAST(event_id AS STRING) AS grandma_first,
+       CAST(event_id % 40 + 45 AS INTEGER) AS grandma_age,
+       'ff' || CAST(event_id AS STRING) AS father_first,
+       CAST(event_id % 70 + 18 AS INTEGER) AS father_age
+FROM events
+""",
+)
+def pb2_wire_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-3 message recursion over REAL wire bytes, pb2 dialect: the
+    spec/codecs/pb2_spec.rb:43-77 walk (``mother.mother.first_name`` — three
+    generations: self -> mother -> grandmother, plus a father branch) through
+    encode and back. The recursive human spec (human.pb.rb:16-17) nests as
+    length-delimited sub-messages; py_decode recurses with a depth bound."""
+    e = F.col("event_id")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("hf"), e.cast("string")).alias("h_first"),
+        F.concat(F.lit("hl"), (e % 100).cast("string")).alias("h_last"),
+        (e % 80 + 1).cast("int").alias("h_age"),
+        F.concat(F.lit("mf"), e.cast("string")).alias("m_first"),
+        (e % 60 + 20).cast("int").alias("m_age"),
+        F.concat(F.lit("gm"), e.cast("string")).alias("gm_first"),
+        (e % 40 + 45).cast("int").alias("gm_age"),
+        F.concat(F.lit("ff"), e.cast("string")).alias("f_first"),
+        (e % 70 + 18).cast("int").alias("f_age"),
+    )
+    out = PW.human_lineage_roundtrip(ev)
+    d = F.col("decoded")
+    return out.select(
+        "event_id",
+        d["first_name"].alias("first_name"), d["last_name"].alias("last_name"),
+        d["age"].alias("age"),
+        d["mother_first"].alias("mother_first"),
+        d["mother_age"].alias("mother_age"),
+        d["grandma_first"].alias("grandma_first"),
+        d["grandma_age"].alias("grandma_age"),
+        d["father_first"].alias("father_first"),
+        d["father_age"].alias("father_age"),
+    )
+
+
+@query(
+    "pb_wire_struct",
+    """
+SELECT event_id,
+       'u' || CAST(event_id AS STRING) AS user_id,
+       '{"active":' || CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END
+       || ',"count":' || CAST(event_id % 1000 AS STRING) || '.0'
+       || ',"geo":{"city":"c' || CAST(event_id % 20 AS STRING)
+       || '","lat":' || CAST(event_id % 180 AS STRING) || '.0}'
+       || ',"note":null'
+       || ',"tags":["a' || CAST(event_id % 7 AS STRING)
+       || '","b' || CAST(event_id % 11 AS STRING) || '"]'
+       || ',"vendor":"v' || CAST(event_id % 50 AS STRING) || '"}'
+           AS details_json,
+       'v' || CAST(event_id % 50 AS STRING) AS vendor,
+       CAST(event_id % 1000 AS BIGINT) AS count_l,
+       event_id % 2 = 0 AS active_b
+FROM events
+""",
+)
+def pb_wire_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """google.protobuf.Struct over REAL wire bytes (protobuf.rb:290-294;
+    fixture spec/helpers/pb3/struct_test_pb.rb:8-14): Details carries every
+    Value kind — string, number, bool, null, nested struct, list — through
+    the well-known map<string,Value> encoding, decoded to canonical
+    sorted-key JSON, then queried back out with typed JSON extraction. The
+    oracle reconstructs the exact canonical JSON text from the generator
+    arithmetic."""
+    e = F.col("event_id")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("u"), e.cast("string")).alias("user_id"),
+        F.concat(F.lit("v"), (e % 50).cast("string")).alias("s_vendor"),
+        (e % 1000).cast("long").alias("s_count"),
+        (e % 2 == 0).alias("s_active"),
+        F.concat(F.lit("a"), (e % 7).cast("string")).alias("s_tag1"),
+        F.concat(F.lit("b"), (e % 11).cast("string")).alias("s_tag2"),
+        (e % 180).cast("long").alias("s_lat"),
+        F.concat(F.lit("c"), (e % 20).cast("string")).alias("s_city"),
+    )
+    out = PW.struct_roundtrip(ev)
+    d = F.col("decoded")
+    j = d["details_json"]
+    return out.select(
+        "event_id",
+        d["user_id"].alias("user_id"),
+        j.alias("details_json"),
+        F.get_json_object(j, "$.vendor").alias("vendor"),
+        F.get_json_object(j, "$.count").cast("double").cast("long")
+        .alias("count_l"),
+        F.get_json_object(j, "$.active").cast("boolean").alias("active_b"),
     )
 
 

@@ -200,6 +200,11 @@ class SchemaRegistry:
     def spark_type(self, type_name: str, depth: int = 3) -> T.DataType:
         if type_name in _SCALAR_TYPES:
             return _SCALAR_TYPES[type_name]
+        if type_name == "struct":
+            # google.protobuf.Struct: arbitrary JSON — surfaced as a JSON
+            # string (queryable via VARIANT / get_json_object downstream,
+            # mirroring the reference's hash passthrough, protobuf.rb:290-294)
+            return T.StringType()
         if type_name.startswith("enum:"):
             # pb3 semantics: enum columns are strings (names). pb2 callers use
             # IntegerType directly.
@@ -350,6 +355,57 @@ def default_registry() -> SchemaRegistry:
             (
                 FieldSpec("scope", "string"),
                 FieldSpec("contacts", "message:contact", repeated=True),
+            ),
+        )
+    )
+    # ProbeResult fixture (spec/helpers/pb3/ProbeResult_pb.rb:7-21, exercised
+    # in pb3_decode_spec.rb probe scenarios): nested message + a DOUBLE
+    # (fixed64 wire type) + its own enum.
+    reg.register_enum(EnumSpec("PingStatus", {0: "OK", 1: "ERROR"}))
+    reg.register_message(
+        MessageSpec(
+            "ping_ipv4_result",
+            (
+                FieldSpec("status", "enum:PingStatus", number=2),
+                FieldSpec("latency", "double", number=3),
+                FieldSpec("ip", "string", number=4),
+                FieldSpec("probe_ip", "string", number=5),
+                FieldSpec("geolocation", "string", number=6),
+            ),
+        )
+    )
+    reg.register_message(
+        MessageSpec(
+            "probe_result",
+            (
+                FieldSpec("uuid", "string", number=1),
+                FieldSpec("task", "message:ping_ipv4_result", number=2),
+            ),
+        )
+    )
+    # Akamai-RUM user agent (spec/helpers/pb3/rum_pb.rb ProtoUserAgent):
+    # FLOAT fields (fixed32 wire type) with non-contiguous numbering.
+    reg.register_message(
+        MessageSpec(
+            "user_agent",
+            (
+                FieldSpec("family", "string", number=1),
+                FieldSpec("major", "float", number=2),
+                FieldSpec("manufacturer", "string", number=3),
+                FieldSpec("minor", "float", number=4),
+                FieldSpec("os", "string", number=7),
+            ),
+        )
+    )
+    # google.protobuf.Struct carrier (spec/helpers/pb3/struct_test_pb.rb:8-14,
+    # decode branch protobuf.rb:290-294): Details is a Struct — arbitrary JSON
+    # riding in protobuf's well-known map<string,Value> encoding.
+    reg.register_message(
+        MessageSpec(
+            "send_json_request",
+            (
+                FieldSpec("user_id", "string", number=1),
+                FieldSpec("details", "struct", number=2),
             ),
         )
     )

@@ -59,3 +59,17 @@ def test_turn_rank_is_total_and_stable(spark):
     tr = transcripts_df(spark, SF_DIR)
     checked = agg.turn_order_check(tr)
     assert checked.filter(F.col("turn_rank") != F.col("turn_idx")).isEmpty()
+
+
+def test_segmented_turn_order_equals_naive(spark):
+    """Segment-and-merge rank must be row-identical to the naive window —
+    tiny seg_size forces many segment boundaries (the offset-merge path)."""
+    tr = transcripts_df(spark, SF_DIR)
+    naive = agg.turn_order_check(tr).select("conv_id", "turn_idx", "turn_rank")
+    for seg_size in (7, 1024):
+        seg = agg.turn_order_segmented(tr, seg_size=seg_size).select(
+            "conv_id", "turn_idx", "turn_rank"
+        )
+        assert naive.exceptAll(seg).isEmpty() and seg.exceptAll(naive).isEmpty(), (
+            f"seg_size={seg_size} diverges from naive rank"
+        )

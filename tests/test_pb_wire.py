@@ -201,3 +201,118 @@ def test_decode_udf_roundtrip_and_dead_letter(spark):
     corrupt = spark.createDataFrame([(bytearray(b"\xff"),)], "payload binary")
     out = W.decode_turn_wire(corrupt).select(F.col("decoded")["error"]).first()
     assert out[0] == W.WIRE_ERROR
+
+
+# ---------------------------------------------------------------------------
+# float/double (wire types 5/1), Struct, depth-3 recursion, repeated messages
+# ---------------------------------------------------------------------------
+
+def test_float_double_golden_vectors():
+    from logstash_codec_protobuf_spark.functions.wire import (
+        py_field_double, py_field_float,
+    )
+
+    # doc example: double 1.0 at field 3 -> tag 0x19 + IEEE LE bits
+    assert py_field_double(3, 1.0) == bytes.fromhex("19000000000000f03f")
+    # float 1.5 at field 2 -> tag 0x15 (2<<3|5) + 0x3fc00000 LE
+    assert py_field_float(2, 1.5) == bytes.fromhex("150000c03f")
+
+
+def test_probe_double_roundtrip_py():
+    from logstash_codec_protobuf_spark.functions.wire import (
+        py_field_double, py_field_len, py_field_string, py_field_varint,
+    )
+
+    reg = default_registry()
+    task = (py_field_varint(2, 1) + py_field_double(3, 12.345)
+            + py_field_string(4, "1.2.3.4"))
+    raw = py_field_string(1, "u-1") + py_field_len(2, task)
+    d = W.py_decode(raw, reg, "probe_result")
+    assert d["uuid"] == "u-1"
+    assert d["task"]["status"] == "ERROR"       # pb3 enum name
+    assert d["task"]["latency"] == 12.345       # bit-exact fixed64
+    assert d["task"]["ip"] == "1.2.3.4"
+    assert d["task"]["probe_ip"] == ""          # proto3 default emission
+    # absent double -> 0.0 default
+    raw2 = py_field_string(1, "u-2") + py_field_len(2, b"")
+    assert W.py_decode(raw2, reg, "probe_result")["task"]["latency"] == 0.0
+
+
+def test_user_agent_float_roundtrip_py():
+    from logstash_codec_protobuf_spark.functions.wire import (
+        py_field_float, py_field_string,
+    )
+
+    reg = default_registry()
+    raw = (py_field_string(1, "ff") + py_field_float(2, 3.25)
+           + py_field_float(4, 0.1) + py_field_string(7, "linux"))
+    d = W.py_decode(raw, reg, "user_agent")
+    assert d["family"] == "ff" and d["os"] == "linux"
+    assert d["major"] == 3.25                       # exactly representable
+    import struct as _s
+    assert d["minor"] == _s.unpack("<f", _s.pack("<f", 0.1))[0]  # f32 rounded
+
+
+def test_struct_all_value_kinds():
+    from logstash_codec_protobuf_spark.functions.wire import (
+        py_field_len, py_field_string, py_struct,
+    )
+
+    reg = default_registry()
+    details = {
+        "s": "text", "n": 2.5, "i": 7, "t": True, "f": False, "z": None,
+        "nested": {"a": 1, "deep": {"b": "x"}},
+        "arr": ["y", 3.0, False, None, {"k": "v"}, ["inner"]],
+        "empty_s": {}, "empty_l": [],
+    }
+    raw = py_field_string(1, "u9") + py_field_len(2, py_struct(details))
+    d = W.py_decode(raw, reg, "send_json_request")
+    assert d["user_id"] == "u9"
+    import json as _json
+    got = _json.loads(d["details"])
+    assert got == {
+        "s": "text", "n": 2.5, "i": 7.0, "t": True, "f": False, "z": None,
+        "nested": {"a": 1.0, "deep": {"b": "x"}},
+        "arr": ["y", 3.0, False, None, {"k": "v"}, ["inner"]],
+        "empty_s": {}, "empty_l": [],
+    }
+    # canonical rendering: sorted keys, compact separators
+    assert d["details"].index('"arr"') < d["details"].index('"n"')
+    # absent Details -> None (message-typed field, no default)
+    assert W.py_decode(py_field_string(1, "u"), reg,
+                       "send_json_request")["details"] is None
+
+
+def test_human_depth3_recursion_py():
+    """pb2_spec.rb:43-77: walk mother.mother.first_name three generations
+    deep over real wire bytes (pb2 dialect)."""
+    reg = default_registry()
+    grandma = py_field_string(1, "Jancsi") + py_field_varint(6, 77)
+    mother = (py_field_string(1, "Jane") + py_field_len(4, grandma)
+              + py_field_varint(6, 42))
+    raw = (py_field_string(1, "Hugo") + py_field_string(3, "Smith")
+           + py_field_len(4, mother) + py_field_varint(6, 11))
+    d = W.py_decode(raw, reg, "human", proto_version=2)
+    assert d["first_name"] == "Hugo" and d["last_name"] == "Smith"
+    assert d["mother"]["first_name"] == "Jane"
+    assert d["mother"]["mother"]["first_name"] == "Jancsi"
+    assert d["mother"]["mother"]["age"] == 77
+    assert d["father"] is None
+    # depth bound: great-great-grandmother exhausts the recursion budget
+    g3 = py_field_len(4, py_field_len(4, py_field_len(4, py_field_len(
+        4, py_field_string(1, "too-deep")))))
+    with pytest.raises(ValueError, match="wire format"):
+        W.py_decode(g3, reg, "human", proto_version=2, depth=4)
+
+
+def test_repeated_message_decode_py():
+    """dns_message.question: repeated nested messages, one tag per element
+    (spec/codecs/pb3_decode_spec.rb:311-335 shape)."""
+    reg = default_registry()
+    q1 = py_field_len(1, b"a.example") + py_field_varint(2, 1)
+    q2 = py_field_len(1, b"b.example") + py_field_varint(3, 4)
+    raw = py_field_varint(1, 5) + py_field_len(4, q1) + py_field_len(4, q2)
+    d = W.py_decode(raw, reg, "dns_message")
+    assert [q["name"] for q in d["question"]] == [b"a.example", b"b.example"]
+    assert [q["qtype"] for q in d["question"]] == [1, 0]   # default fills
+    assert [q["qclass"] for q in d["question"]] == [0, 4]
