@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .. import cache
 from ..functions.portable import DUCK, MOD, SPARK, Dialect
 
 # 16 fixed (a, b) permutation constants — odd multipliers, distinct offsets.
@@ -76,7 +77,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
         "doc_id", shingle_col.alias("shingles")
     ).select(
         "doc_id", "shingles", F.size("shingles").alias("n_sh")
-    ).persist()  # probed twice (a- and b-side of the candidate join)
+    )
+    sh = cache.track(sh)  # probed twice (a- and b-side of the candidate join)
     a = sh.select(F.col("doc_id").alias("a_id"),
                   F.col("shingles").alias("a_sh"), F.col("n_sh").alias("a_n"))
     b = sh.select(F.col("doc_id").alias("b_id"),
@@ -89,8 +91,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
         .select("a_id", "b_id",
                 F.expr("size(array_intersect(a_sh, b_sh))").alias("n_int"),
                 "a_n", "b_n")
-        .persist()
     )
+    inters = cache.track(inters)
     ja = F.col("n_int").cast("double") / (
         F.col("a_n") + F.col("b_n") - F.col("n_int")
     )
@@ -247,7 +249,7 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket. The band
     frame is persisted — both self-join sides would otherwise recompute the
     16-permutation signatures."""
-    bands = minhash_bands(docs).persist()
+    bands = cache.track(minhash_bands(docs))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -357,7 +359,7 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
     # join sides recompute the (expensive) 32-bit vote over every shingle —
     # measured 26x slower. At warehouse scale this persist is a fingerprint
     # table write; here Spark's cache serves the same plan role.
-    blk = simhash(docs).persist().select(
+    blk = cache.track(simhash(docs)).select(
         "doc_id", "simhash32",
         F.expr(f"explode(array({items})) AS block"),
     ).select("doc_id", "simhash32",

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .. import cache
 from ..functions.portable import DUCK, SPARK
 from .similarity import pair_dot as SIM_pair_dot
 
@@ -42,7 +43,7 @@ def ivf_assign(emb: DataFrame, k: int = N_CENTROIDS) -> DataFrame:
     """(vec_id, centroid_id, score): nearest centroid by cosine, ties broken
     by centroid id. One broadcast cross join (n x K) + window argmin."""
     d = SPARK
-    e = _with_norm(emb).select("vec_id", "embedding", "nrm").persist()
+    e = cache.track(_with_norm(emb).select("vec_id", "embedding", "nrm"))
     c = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("cv"),
@@ -88,7 +89,7 @@ def ivf_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
     """Approximate top-k: each query scores only the vectors whose inverted
     list is among the query's ``n_probe`` nearest centroids."""
     d = SPARK
-    e = _with_norm(emb).select("vec_id", "embedding", "nrm").persist()
+    e = cache.track(_with_norm(emb).select("vec_id", "embedding", "nrm"))
     c = e.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("cv"),
@@ -184,7 +185,7 @@ def ivf_refine(emb: DataFrame, k: int = N_CENTROIDS,
     — fully distributed, no driver-side vectors. Returns (centroid_id,
     centroid array<double>)."""
     d = SPARK
-    e = _with_norm(emb).select("vec_id", "embedding", "nrm").persist()
+    e = cache.track(_with_norm(emb).select("vec_id", "embedding", "nrm"))
     cents = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").cast("array<double>").alias("cv"),

@@ -14,10 +14,11 @@ Split of labor, Spark-first:
   field order, unknown-field skipping, nested recursion) — the sanctioned
   Arrow-batched pandas UDF path (SURVEY.md §2.11). One Python worker exchange
   per batch, ~10^4 payloads per round trip, never per-row SQL UDFs. On a
-  cluster with the spark-protobuf jar the UDF swaps for ``from_protobuf``
-  with a compiled descriptor set; the sandbox ships no such jar, so the wire
-  parser below IS the implementation, validated against hand-computed vectors
-  from the protobuf encoding spec.
+  cluster with the spark-protobuf jar, ``decode_turn_wire(impl='auto')``
+  swaps in JVM-native ``from_protobuf`` with a descriptor set compiled from
+  the registry (``descriptors.descriptor_set_bytes``) — zero Python workers;
+  the sandbox ships no jar, so the Arrow path is what runs here, validated
+  against hand-computed vectors from the protobuf encoding spec.
 
 Wire parser semantics mirrored from the reference:
 - unknown fields are skipped by wire type (forward compatibility),
@@ -457,7 +458,9 @@ def encode_turn_wire(df: DataFrame, binary: bool = True,
     out = df.withColumn("payload_hex", F.expr(turn_wire_hex(SPARK, SPARK_TURN_COLS)))
     if binary:
         out = out.withColumn("payload", F.unhex(F.col("payload_hex")))
-    return out.persist() if materialize else out
+    from .. import cache as _cache
+
+    return _cache.track(out) if materialize else out
 
 
 # ---------------------------------------------------------------------------
@@ -528,12 +531,89 @@ def _make_decode_udf(registry: SchemaRegistry, proto_version: int = 3):
     return _decode
 
 
+def spark_protobuf_available(spark) -> bool:
+    """True when the spark-protobuf jar is on the JVM classpath (cluster
+    deployments add ``org.apache.spark:spark-protobuf_2.13``; the sandbox
+    ships only the Python wrapper)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.protobuf.ProtobufDataToCatalyst"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def decode_turn_wire_jvm(df: DataFrame, payload_col: str = "payload",
+                         registry: SchemaRegistry | None = None,
+                         proto_version: int = 3) -> DataFrame:
+    """JVM-native decode via ``from_protobuf`` + a descriptor set compiled
+    from the registry (descriptors.descriptor_set_bytes) — zero Python
+    workers, the 100 TB path when the spark-protobuf jar is present. The
+    output is aligned to the Arrow UDF's ``decoded`` struct contract:
+    oneof discriminator from whichever member is non-null, PERMISSIVE
+    null-struct -> dead-letter error row."""
+    from pyspark.sql.protobuf.functions import from_protobuf
+
+    from ..descriptors import descriptor_set_bytes
+
+    reg = registry if registry is not None else default_registry()
+    desc = descriptor_set_bytes(reg, ["turn_wire"])
+    options = {"mode": "PERMISSIVE"}
+    if proto_version == 2:
+        options["enums.as.ints"] = "true"  # pb2: codes pass through
+    raw = from_protobuf(F.col(payload_col), "sparkgraft.turn_wire",
+                        binaryDescriptorSet=desc, options=options)
+    p = F.col("_pb")
+    colour = (p["colour"].cast("long") if proto_version == 2
+              else p["colour"].cast("string"))
+    decoded = F.when(p.isNull(), F.lit(None)).otherwise(F.struct(
+        p["conv_id"].alias("conv_id"),
+        p["turn_idx"].cast("int").alias("turn_idx"),
+        p["role"].alias("role"), p["tool"].alias("tool"),
+        colour.alias("colour"),
+        p["cents"].cast("long").alias("cents"),
+        p["horn"].cast("int").alias("horn"),
+        p["wings"].cast("int").alias("wings"),
+        p["msg"].alias("msg"),
+        F.when(p["horn"].isNotNull(), F.lit("horn"))
+         .when(p["wings"].isNotNull(), F.lit("wings")).alias("oneof_body"),
+        F.lit(None).cast("string").alias("error"),
+    ))
+    schema = TURN_WIRE_DECODED if proto_version == 3 else TURN_WIRE_DECODED_PB2
+    return (
+        df.withColumn("_pb", raw)
+        .withColumn(
+            "decoded",
+            F.coalesce(
+                decoded.cast(schema),
+                F.struct(*[
+                    (F.lit(WIRE_ERROR) if f.name == "error"
+                     else F.lit(None)).cast(f.dataType).alias(f.name)
+                    for f in schema
+                ]),
+            ),
+        )
+        .drop("_pb")
+    )
+
+
 def decode_turn_wire(df: DataFrame, payload_col: str = "payload",
                      registry: SchemaRegistry | None = None,
-                     proto_version: int = 3) -> DataFrame:
+                     proto_version: int = 3, impl: str = "auto") -> DataFrame:
     """BinaryType payload -> ``decoded`` struct column (1:1 projection).
     Pass ``registry`` to decode with schema specs loaded from disk;
-    ``proto_version=2`` keeps enum codes as ints (pb2 dialect)."""
+    ``proto_version=2`` keeps enum codes as ints (pb2 dialect).
+
+    ``impl``: 'auto' uses the JVM-native ``from_protobuf`` path whenever the
+    spark-protobuf jar is on the classpath (no Python workers), else the
+    Arrow-batch UDF; 'jvm'/'arrow' force a path."""
+    if impl not in ("auto", "jvm", "arrow"):
+        raise ValueError(f"unknown decode impl: {impl}")
+    if impl == "jvm" or (
+        impl == "auto" and spark_protobuf_available(df.sparkSession)
+    ):
+        return decode_turn_wire_jvm(df, payload_col, registry, proto_version)
     udf = _make_decode_udf(registry if registry is not None
                            else default_registry(), proto_version)
     return df.withColumn("decoded", udf(F.col(payload_col)))

@@ -23,6 +23,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
+from .. import cache
 from ..functions.portable import DUCK, SPARK
 
 DIM = 64  # driver embeddings are 64-d
@@ -124,9 +125,10 @@ def neardup_pairs(emb: DataFrame, threshold: float = 0.9,
     # The norm is precomputed per VECTOR (n values) so the per-PAIR work is
     # one dot product instead of three: cosine = dot/(nrm_a*nrm_b) is the
     # identical IEEE expression tree the oracle folds, just factored.
-    h = (emb.withColumn("bucket", bucket)
-         .withColumn("nrm", F.expr(f"sqrt({d.dot('embedding', 'embedding')})"))
-         .persist())
+    h = cache.track(
+        emb.withColumn("bucket", bucket)
+        .withColumn("nrm", F.expr(f"sqrt({d.dot('embedding', 'embedding')})"))
+    )
     probes = "array(bucket" + "".join(
         f", bucket ^ {1 << p}" for p in range(n_planes)
     ) + ")"
@@ -147,8 +149,8 @@ def neardup_pairs(emb: DataFrame, threshold: float = 0.9,
         .select("a_id", "b_id",
                 pair_dot("av", "bv").alias("dp"),
                 "a_nrm", "b_nrm")
-        .persist()
     )
+    pairs = cache.track(pairs)
     score = F.expr(d.trunc6("dp / (a_nrm * b_nrm)"))
     return (
         pairs.select("a_id", "b_id", score.alias("score"))
@@ -217,8 +219,9 @@ def lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
     d = SPARK
     bucket = F.expr(lsh_bucket_expr("embedding", n_planes))
     nrm = F.expr(f"sqrt({d.dot('embedding', 'embedding')})")
-    hashed = (emb.withColumn("bucket", bucket).withColumn("nrm", nrm)
-              .persist())
+    hashed = cache.track(
+        emb.withColumn("bucket", bucket).withColumn("nrm", nrm)
+    )
     q = hashed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
         F.col("nrm").alias("q_nrm"), F.col("bucket"),

@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from . import cache
 from .config import CodecConfig
 from .operators import aggregate as agg
 from .operators import encode as enc
@@ -35,10 +36,19 @@ _ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        _QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # query boundary: the caller has materialized the previous
+            # query's result by now — drop its persisted intermediates so a
+            # full queries() sweep holds O(1) cached frames, not O(#queries)
+            cache.release_tracked()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLES[name] = oracle
-        return fn
+        return wrapped
     return deco
 
 
@@ -60,26 +70,32 @@ def _good_parsed(spark: SparkSession, sf_dir: str, impl: str = "native") -> Data
 
 
 def _good_flat(spark: SparkSession, sf_dir: str, impl: str = "native") -> DataFrame:
-    good = _good_parsed(spark, sf_dir, impl)
-    p = F.col("parsed")
-    flat = good.select(
-        p["conv_id"].alias("conv_id"),
-        p["turn_idx"].alias("turn_idx"),
-        p["role"].alias("role"),
-        p["tool"].alias("tool"),
-        p["colour"].alias("colour"),
-        p["cents"].alias("cents"),
-        p["body_type"].alias("body_type"),
-        p["horn"].alias("horn"),
-        p["wings"].alias("wings"),
-        p["msg"].alias("msg"),
-        F.col("ts"),
-        F.col("text"),
-    )
-    # persist: projection collapse would otherwise substitute the per-field
-    # regexp parse into every downstream reference — the wire encoder alone
-    # references these columns ~40x each (measured 7x slower un-cached)
-    return flat.persist()
+    def build() -> DataFrame:
+        good = _good_parsed(spark, sf_dir, impl)
+        p = F.col("parsed")
+        return good.select(
+            p["conv_id"].alias("conv_id"),
+            p["turn_idx"].alias("turn_idx"),
+            p["role"].alias("role"),
+            p["tool"].alias("tool"),
+            p["colour"].alias("colour"),
+            p["cents"].alias("cents"),
+            p["body_type"].alias("body_type"),
+            p["horn"].alias("horn"),
+            p["wings"].alias("wings"),
+            p["msg"].alias("msg"),
+            F.col("ts"),
+            F.col("text"),
+        )
+
+    # persist (shared): projection collapse would otherwise substitute the
+    # per-field regexp parse into every downstream reference — the wire
+    # encoder alone references these columns ~40x each (measured 7x slower
+    # un-cached). Memoized per (session, sf_dir, impl): half the query
+    # surface starts from this frame, so a per-call persist accumulated ~20
+    # cached copies over a driver sweep.
+    key = (spark.sparkContext.applicationId, sf_dir, impl, "good_flat")
+    return cache.shared(key, build)
 
 
 # --------------------------------------------------------------------------
@@ -721,7 +737,8 @@ def pb_wire_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
         p["body_type"].alias("body_type"), p["horn"].alias("horn"),
         p["wings"].alias("wings"), p["msg"].alias("msg"),
         p["error"].isNotNull().alias("_corrupt"),
-    ).persist()
+    )
+    flat = cache.track(flat)
     enc = PW.encode_turn_wire(flat, binary=False)
     enc = enc.withColumn(
         "payload",
