@@ -408,15 +408,30 @@ def run_skew(sf_dir: str, sf: str) -> dict:
             return _timed(lambda: agg.session_stats(
                 t, segmented=segmented).count())
 
+        def rank_run(segmented):
+            # consume the rank column (sum) so Catalyst can't prune the window
+            if segmented:
+                r = agg.turn_order_segmented(t)
+            else:
+                r = agg.turn_order_check(t)
+            return _timed(
+                lambda: r.selectExpr("sum(turn_rank)", "count(1)").collect()
+            )
+
         run(True)  # warm
         seg = min(run(True) for _ in range(2))
         naive = min(run(False) for _ in range(2))
+        rank_seg = min(rank_run(True) for _ in range(2))
+        rank_naive = min(rank_run(False) for _ in range(2))
         report = {
             "sf": sf, "replication": repl, "n_turns": n,
             "hot_conv_rows": hot, "hot_fraction": round(hot / n, 3),
             "session_stats_naive_sec": round(naive, 2),
             "session_stats_segmented_sec": round(seg, 2),
             "speedup": round(naive / seg, 2),
+            "turn_rank_naive_sec": round(rank_naive, 2),
+            "turn_rank_segmented_sec": round(rank_seg, 2),
+            "rank_speedup": round(rank_naive / rank_seg, 2),
         }
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/skew_window_latest.md", "w") as f:
@@ -428,15 +443,18 @@ Input: sf{sf} transcripts x{repl} with conv-hot PRESERVED as one key
 segment-and-merge plan (seg_size=1024 windows + a 1/1024-size merge level)
 bounds every sort. Result-identical (tests/test_aggregate.py).
 
-| plan | wall sec |
-| --- | --- |
-| naive single window | {naive:.2f} |
-| segment-and-merge   | {seg:.2f} |
+| plan | sessionize wall sec | row_number wall sec |
+| --- | --- | --- |
+| naive single window | {naive:.2f} | {rank_naive:.2f} |
+| segment-and-merge   | {seg:.2f} | {rank_seg:.2f} |
 
-Speedup at this scale: **{naive / seg:.2f}x** — and the gap is structural:
-the naive plan's wall clock is lower-bounded by one core sorting the hot
+Speedup at this scale: sessionize **{naive / seg:.2f}x**, rank
+**{rank_naive / rank_seg:.2f}x** — and the gap is structural: the naive
+plan's wall clock is lower-bounded by one core sorting the hot
 conversation, so it grows linearly with the hot key while the segmented
-plan keeps scaling with the cluster.
+plan keeps scaling with the cluster. row_number is the same prefix-sum
+decomposition (within-segment rank + broadcast per-segment count offsets,
+aggregate.turn_order_segmented), so both operators ride the same fix.
 """)
         return report
     finally:

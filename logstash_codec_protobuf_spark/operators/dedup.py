@@ -324,6 +324,55 @@ def simhash_oracle() -> str:
             f"SELECT doc_id, {d.simhash32('_hb')} AS simhash32 FROM _hb_basis")
 
 
+def _shingle_hashes_all(d: Dialect) -> str:
+    """Frequency-PRESERVING (non-distinct) shingle-hash multiset — the
+    weighted-SimHash basis: every occurrence votes, so each shingle's weight
+    is its term frequency (the standard production weighting; tf is the
+    corpus-pass-free part of Charikar/Manku-style tf-idf weights). Same poly
+    hash + Lehmer scramble as the distinct basis."""
+    grams = d.amap(d.seq1(f"length(text) - {MINHASH_SHINGLE_K - 1}"),
+                   f"i -> substring(text, i, {MINHASH_SHINGLE_K})")
+    raw = d.amap(grams, f"s -> {d.poly_hash_str('s')}")
+    return d.amap(raw, f"h -> ((h * 48271 % {MOD}) * 48271) % {MOD}")
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _shingle_hashes_all_udf(text: pd.Series) -> pd.Series:
+    """Arrow twin of _shingle_hashes_all (no dedup — one hash per occurrence,
+    text order preserved; the vote is order-insensitive anyway)."""
+    k = MINHASH_SHINGLE_K
+    out = []
+    for t in text:
+        hs = []
+        for i in range(len(t) - k + 1):
+            acc = 0
+            for ch in t[i:i + k]:
+                acc = (acc * 31 + ord(ch)) % MOD
+            hs.append(((acc * 48271 % MOD) * 48271) % MOD)
+        out.append(hs)
+    return pd.Series(out)
+
+
+def simhash_weighted(docs: DataFrame) -> DataFrame:
+    """Weighted (term-frequency) SimHash: the identical majority vote run
+    over the frequency-preserving multiset — a shingle occurring 3x casts 3
+    votes. Two-stage projection + Arrow vote, like the unweighted variant."""
+    basis = docs.select(
+        "doc_id", _shingle_hashes_all_udf(F.col("text")).alias("_hb")
+    )
+    return basis.select(
+        "doc_id", _simhash32_udf(F.col("_hb")).alias("simhash32_w")
+    )
+
+
+def simhash_weighted_oracle() -> str:
+    d = DUCK
+    return (f"WITH _hb_basis AS (SELECT doc_id, {_shingle_hashes_all(d)} "
+            f"AS _hb FROM documents)\n"
+            f"SELECT doc_id, {d.simhash32('_hb')} AS simhash32_w "
+            f"FROM _hb_basis")
+
+
 def _simhash_block_bounds(max_hamming: int) -> list[tuple[int, int]]:
     """Pigeonhole banding: split the 32 bits into max_hamming+1 contiguous
     blocks -> (lo_bit, width) per block. A pair with hamming <= r differs in

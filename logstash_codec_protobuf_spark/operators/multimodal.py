@@ -65,29 +65,51 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+def extract_features(media: DataFrame, batch_hint: int | None = None,
+                     real_decode: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    Deterministic stub features: n_bytes, 16-byte prefix polynomial checksum,
-    width/height derived from both. Swap `_features_batch` for a real decoder
-    (PIL/torchvision) without touching the Spark plumbing.
-    """
+    ``real_decode=True`` (requires PIL; callers opt in when payloads hold
+    real image bytes) decodes each payload and reports actual pixel
+    dimensions; the default computes deterministic stub features — n_bytes,
+    16-byte prefix polynomial checksum, width/height derived from both.
+    Either way the Spark plumbing — mapInPandas Arrow batches, schema,
+    partition-preserving 1:1 shape — is identical; the stub keeps an exact
+    SQL oracle (features_oracle)."""
 
-    def _features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _stub_row(pdf: pd.DataFrame) -> pd.DataFrame:
+        payloads = pdf["payload"]
+        n_bytes = payloads.map(len)
+        checksum = payloads.map(_prefix_checksum)
+        return pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "media_type": pdf["media_type"],
+            "n_bytes": n_bytes.astype("int64"),
+            "checksum": pd.Series(checksum, dtype="int64"),
+            "width": (64 + n_bytes % 512).astype("int32"),
+            "height": (64 + pd.Series(checksum) % 512).astype("int32"),
+        })
+
+    def _stub_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            n_bytes = payloads.map(len)
-            checksum = payloads.map(_prefix_checksum)
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "n_bytes": n_bytes.astype("int64"),
-                "checksum": pd.Series(checksum, dtype="int64"),
-                "width": (64 + n_bytes % 512).astype("int32"),
-                "height": (64 + pd.Series(checksum) % 512).astype("int32"),
-            })
+            yield _stub_row(pdf)
 
-    return media.mapInPandas(_features_batch, FEATURE_SCHEMA)
+    def _pil_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = _stub_row(pdf)
+            widths, heights = [], []
+            for p in pdf["payload"]:
+                img = decode_image(bytes(p))
+                widths.append(img.width)
+                heights.append(img.height)
+            out["width"] = pd.Series(widths, dtype="int32")
+            out["height"] = pd.Series(heights, dtype="int32")
+            yield out
+
+    if real_decode and not HAS_PIL:
+        raise NotImplementedError("real_decode=True requires PIL")
+    fn = _pil_batch if real_decode else _stub_batch
+    return media.mapInPandas(fn, FEATURE_SCHEMA)
 
 
 def features_oracle() -> str:

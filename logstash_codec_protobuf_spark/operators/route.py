@@ -60,17 +60,37 @@ def route_counts(good: DataFrame, dead: DataFrame) -> DataFrame:
     return g.unionByName(d).groupBy("sink").agg(F.sum("n_rows").alias("n_rows"))
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath (cluster
+    deployments add ``org.apache.iceberg:iceberg-spark-runtime``)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def fan_out(
     df: DataFrame,
-    base_path: str,
+    base_path: str | None = None,
     cfg: CodecConfig | None = None,
     mode: str = "append",
+    table: str | None = None,
 ) -> None:
-    """Write rows to per-sink parquet directories in ONE pass.
+    """Write rows to per-sink storage in ONE pass.
 
-    At cluster scale the writer targets per-sink Iceberg tables
-    (``writeTo(...).append()``); parquet-partitionBy has the same layout and
-    identical shuffle behavior in the sandbox.
+    Two sinks behind the same shuffle plan:
+
+    - ``table`` set: DataFrameWriterV2 (``writeTo``) against a catalog table
+      — the Iceberg path at cluster scale (north star names Iceberg; any V2
+      catalog satisfies the API, so the seam is exercised in the sandbox via
+      the built-in session catalog). First write creates the table
+      partitioned by sink; later writes append through the table's own
+      partition spec.
+    - otherwise: parquet ``partitionBy("sink")`` directories at
+      ``base_path`` — identical layout and shuffle behavior.
     """
     cfg = cfg or CodecConfig()
     n = cfg.route_partitions or df.sparkSession.conf.get(
@@ -82,4 +102,24 @@ def fan_out(
         .repartition(int(n), F.col("sink"), F.col("_salt"))
         .drop("_salt")
     )
+    if table is not None:
+        spark = routed.sparkSession
+        if mode == "overwrite":
+            routed.writeTo(table).partitionedBy(F.col("sink")) \
+                .createOrReplace()
+            return
+        if not spark.catalog.tableExists(table):
+            routed.writeTo(table).partitionedBy(F.col("sink")).create()
+            return
+        try:
+            routed.writeTo(table).append()
+        except Exception:
+            # V1 session-catalog tables don't implement the V2 append
+            # capability (Iceberg does) — same rows, same partition layout
+            # through the V1 writer
+            routed.write.mode("append").partitionBy("sink") \
+                .saveAsTable(table)
+        return
+    if base_path is None:
+        raise ValueError("fan_out needs either base_path or table")
     routed.write.mode(mode).partitionBy("sink").parquet(base_path)

@@ -1292,6 +1292,14 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(_docs(spark, sf_dir))
 
 
+@query("simhash_weighted", DD.simhash_weighted_oracle())
+def simhash_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency-weighted SimHash: the majority vote over the
+    frequency-preserving shingle multiset (each occurrence votes) — the
+    standard production weighting variant."""
+    return DD.simhash_weighted(_docs(spark, sf_dir))
+
+
 @query("simhash_neardup", DD.simhash_neardup_oracle(max_hamming=1))
 def simhash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming<=1 near-dups via pigeonhole banding (2 blocks of 16

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from logstash_codec_protobuf_spark.plans.pipeline import run_pipeline
 from logstash_codec_protobuf_spark.plans.checkpoint import CheckpointManifest
@@ -72,3 +73,39 @@ def test_killed_run_resumes_without_reprocessing(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/routed").groupBy("sink").count().collect()
     }
     assert landed == _expected_sinks(SF_DIR)
+
+
+def test_fan_out_parquet_and_writeto(spark, tmp_path):
+    """fan_out writes through BOTH sinks behind the same shuffle plan:
+    parquet partitionBy directories, and the DataFrameWriterV2 (writeTo)
+    catalog path — Iceberg on a cluster, the built-in session catalog here
+    (same API seam either way)."""
+    from logstash_codec_protobuf_spark.operators.route import (
+        fan_out, iceberg_available,
+    )
+
+    df = spark.range(200).select(
+        F.concat(F.lit("conv-"), (F.col("id") % 9).cast("string"))
+        .alias("conv_id"),
+        F.col("id").alias("turn_idx"),
+        F.when(F.col("id") % 3 == 0, "sink_a")
+        .when(F.col("id") % 3 == 1, "sink_b")
+        .otherwise("dead_letter").alias("sink"),
+    )
+    # parquet path
+    fan_out(df, str(tmp_path / "out"))
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 200
+    assert back.select("sink").distinct().count() == 3
+    # writeTo path: first write creates partitioned-by-sink, second appends
+    assert not iceberg_available(spark)  # sandbox: session catalog stands in
+    spark.sql("DROP TABLE IF EXISTS fanout_v2_test")
+    import shutil
+    shutil.rmtree("spark-warehouse/fanout_v2_test", ignore_errors=True)
+    fan_out(df, table="fanout_v2_test")
+    assert spark.table("fanout_v2_test").count() == 200
+    fan_out(df, table="fanout_v2_test")
+    assert spark.table("fanout_v2_test").count() == 400
+    parts = spark.sql("SHOW CREATE TABLE fanout_v2_test").first()[0]
+    assert "PARTITIONED BY (sink)" in parts
+    spark.sql("DROP TABLE fanout_v2_test")
