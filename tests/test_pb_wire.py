@@ -316,3 +316,19 @@ def test_repeated_message_decode_py():
     assert [q["name"] for q in d["question"]] == [b"a.example", b"b.example"]
     assert [q["qtype"] for q in d["question"]] == [1, 0]   # default fills
     assert [q["qclass"] for q in d["question"]] == [0, 4]
+
+
+def test_struct_malformed_dead_letters():
+    """Corrupt Struct payloads raise the wire error (-> dead-letter route),
+    never a stray exception: bad entry field number, truncated Value, junk."""
+    from logstash_codec_protobuf_spark.functions.wire import (
+        py_field_len, py_field_string, py_field_varint,
+    )
+
+    reg = default_registry()
+    bad_entry = py_field_varint(2, 7)          # Struct entry must be fnum 1/LEN
+    truncated = py_field_len(1, py_field_string(1, "k") + b"\x12\x05ab")
+    for bad in (bad_entry, truncated):
+        raw = py_field_string(1, "u") + py_field_len(2, bad)
+        with pytest.raises(ValueError, match="wire format"):
+            W.py_decode(raw, reg, "send_json_request")

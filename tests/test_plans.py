@@ -130,3 +130,18 @@ def test_tpch_q5_broadcasts_dims_and_pushes_date_filter(spark):
     m = re.search(r"PushedFilters: \[([^\]]*GreaterThanOrEqual\(o_orderdate[^\]]*)\]",
                   plan)
     assert m, "o_orderdate range not pushed to scan"
+
+
+def test_segmented_rank_broadcasts_offsets(spark, tr):
+    """turn_order_segmented must (a) window on (conv_id, segment) — never
+    conv_id alone — and (b) BROADCAST the per-segment offsets back onto the
+    rows: an SMJ there re-sorts the entire input on the join key (measured
+    slower than the naive plan it replaces)."""
+    from logstash_codec_protobuf_spark.operators import aggregate as agg
+
+    plan = _executed(agg.turn_order_segmented(tr))
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan, plan[:800]
+    assert re.search(
+        r"Window .*partitionBy.*_seg|hashpartitioning\(conv_id[^)]*_seg", plan
+    ), plan[:1000]

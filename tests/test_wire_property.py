@@ -142,3 +142,89 @@ def test_sint_field_roundtrip(vals):
         buf = py_field_sint(6, v)
         d = W.py_decode(buf, REG, "turn_wire")
         assert d["cents"] == v
+
+
+# ---------------------------------------------------------------------------
+# round-3 surfaces: float/double, Struct, depth-3 recursion
+# ---------------------------------------------------------------------------
+
+finite_doubles = st.floats(allow_nan=False, allow_infinity=False)
+
+
+@given(finite_doubles)
+@settings(max_examples=300)
+def test_double_field_bit_exact_roundtrip(x):
+    """fixed64 IEEE doubles round-trip bit-exactly through the wire."""
+    from logstash_codec_protobuf_spark.functions.wire import py_field_double
+
+    buf = py_field_double(3, x)  # ping_ipv4_result.latency
+    d = W.py_decode(buf, REG, "ping_ipv4_result")
+    got = d["latency"]
+    assert got == x or (got == 0.0 and x == 0.0)  # -0.0 == 0.0 is fine
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False, width=32))
+@settings(max_examples=300)
+def test_float_field_bit_exact_roundtrip(x):
+    """fixed32 floats: any float32-representable value survives exactly."""
+    from logstash_codec_protobuf_spark.functions.wire import py_field_float
+
+    buf = py_field_float(2, x)  # user_agent.major
+    d = W.py_decode(buf, REG, "user_agent")
+    assert d["major"] == x
+
+
+json_values = st.recursive(
+    st.none() | st.booleans()
+    | st.floats(allow_nan=False, allow_infinity=False)
+    | st.text(max_size=12),
+    lambda children: st.lists(children, max_size=4)
+    | st.dictionaries(st.text(max_size=8), children, max_size=4),
+    max_leaves=12,
+)
+
+
+@given(st.dictionaries(st.text(max_size=8), json_values, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_struct_roundtrip_property(details):
+    """Any JSON-shaped dict survives Struct encode -> wire -> decode, with
+    ints coerced to doubles (the Struct number_value rule) and duplicate
+    keys impossible by construction."""
+    import json
+
+    from logstash_codec_protobuf_spark.functions.wire import (
+        py_field_len, py_field_string, py_struct,
+    )
+
+    raw = py_field_string(1, "u") + py_field_len(2, py_struct(details))
+    d = W.py_decode(raw, REG, "send_json_request")
+    got = json.loads(d["details"])
+
+    def canon(v):
+        if isinstance(v, bool) or v is None or isinstance(v, str):
+            return v
+        if isinstance(v, (int, float)):
+            return float(v)
+        if isinstance(v, list):
+            return [canon(x) for x in v]
+        return {k: canon(x) for k, x in v.items()}
+
+    assert got == canon(details)
+
+
+@given(st.text(max_size=10), st.text(max_size=10), st.text(max_size=10),
+       st.integers(min_value=0, max_value=120))
+@settings(max_examples=150)
+def test_human_lineage_roundtrip_property(me, mom, grandma, age):
+    from logstash_codec_protobuf_spark.functions.wire import (
+        py_field_len, py_field_string, py_field_varint,
+    )
+
+    gm = py_field_string(1, grandma) + py_field_varint(6, age)
+    mother = py_field_string(1, mom) + py_field_len(4, gm)
+    raw = py_field_string(1, me) + py_field_len(4, mother)
+    d = W.py_decode(raw, REG, "human", proto_version=2)
+    assert d["first_name"] == me
+    assert d["mother"]["first_name"] == mom
+    assert d["mother"]["mother"]["first_name"] == grandma
+    assert d["mother"]["mother"]["age"] == age
