@@ -178,9 +178,12 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], int]:
     routed_counts("arrow")()
 
     times: dict[str, float] = {}
+    from logstash_codec_protobuf_spark import cache
+
     for name, fn in cases.items():
-        t0 = time.time()
-        fn()
+        cache.release_tracked()  # query boundary: drop the previous case's
+        t0 = time.time()         # persisted intermediates (same lifecycle
+        fn()                     # the @query wrapper gives the driver sweep)
         times[name] = round(time.time() - t0, 3)
     shutil.rmtree(tr_path, ignore_errors=True)
     return times, n_turns
