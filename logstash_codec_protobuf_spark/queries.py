@@ -1610,6 +1610,127 @@ def tpch_q5_local_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tpch_q3_shipping",
+    """
+SELECT l.l_orderkey AS orderkey,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+       o.o_orderpriority AS priority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-01'
+  AND l.l_shipdate  > TIMESTAMP '1997-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_c DESC, orderdate, orderkey
+LIMIT 10
+""",
+)
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (unshipped-orders revenue by order): segment filter
+    pushed to the customer scan, date filters pushed to orders/lineitem
+    scans, customer broadcast, revenue in integer cents, total ORDER BY so
+    the top-10 is deterministic."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-06-01"
+    )
+    ln = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-06-01"
+    )
+    rev = F.expr(
+        "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"
+    )
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(ln, ln["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").cast("string")
+            .alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.sum(rev).alias("revenue_c"))
+        .select("orderkey", "revenue_c", "orderdate", "priority")
+        .orderBy(F.desc("revenue_c"), F.asc("orderdate"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q7_volume",
+    """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(vol_c) AS BIGINT) AS revenue_c
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+         CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+              AS BIGINT) AS vol_c
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1999-01-01'
+) GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): the
+    disjunctive nation-pair predicate over TWO broadcast nation joins, a
+    ship-date range pushed to the lineitem scan, and a year-grouped cents
+    rollup. The nation filter is applied post-join (the OR spans both
+    sides) but each nation dim is pre-filtered to the 2-row subset, so the
+    broadcast carries 2 rows and the fact rows fan through hash lookups."""
+    pair = ("NATION_1", "NATION_2")
+    s = load_table(spark, sf_dir, "supplier")
+    ln = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1999-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*pair)
+    ).select(F.col("n_nationkey").alias("n1_key"),
+             F.col("n_name").alias("supp_nation"))
+    n2 = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*pair)
+    ).select(F.col("n_nationkey").alias("n2_key"),
+             F.col("n_name").alias("cust_nation"))
+    vol = F.expr(
+        "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"
+    )
+    joined = (
+        ln.join(F.broadcast(s), ln["l_suppkey"] == s["s_suppkey"])
+        .join(o, o["o_orderkey"] == ln["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == pair[0])
+             & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1])
+               & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation",
+        F.year(F.col("l_shipdate").cast("timestamp")).cast("int")
+        .alias("l_year"),
+    ).agg(F.sum(vol).alias("revenue_c"))
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

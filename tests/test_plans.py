@@ -145,3 +145,24 @@ def test_segmented_rank_broadcasts_offsets(spark, tr):
     assert re.search(
         r"Window .*partitionBy.*_seg|hashpartitioning\(conv_id[^)]*_seg", plan
     ), plan[:1000]
+
+
+def test_tpch_q3_pushes_all_three_scan_filters(spark):
+    """Q3's segment + both date predicates must reach their parquet scans."""
+    from logstash_codec_protobuf_spark.queries import tpch_q3_shipping
+
+    plan = _executed(tpch_q3_shipping(spark, SF_DIR))
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert re.search(r"LessThan\(o_orderdate", plan), "orders date not pushed"
+    assert re.search(r"GreaterThan\(l_shipdate", plan), "ship date not pushed"
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q7_broadcasts_nation_pair(spark):
+    """Q7's two 2-row nation dims must broadcast; the ship-date range must
+    reach the lineitem scan."""
+    from logstash_codec_protobuf_spark.queries import tpch_q7_volume
+
+    plan = _executed(tpch_q7_volume(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:800]
+    assert re.search(r"GreaterThanOrEqual\(l_shipdate", plan)
