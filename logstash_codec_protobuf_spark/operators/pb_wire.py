@@ -865,6 +865,87 @@ def dns_roundtrip(df: DataFrame, registry: SchemaRegistry | None = None
 
 
 # ---------------------------------------------------------------------------
+# directory: REPEATED messages that each carry a map — the repeated-top-level
+# pattern (spec/helpers/pb3/events_pb.rb:7-16) at full nesting depth
+# ---------------------------------------------------------------------------
+
+DIRECTORY_DECODED = T.StructType([
+    T.StructField("scope", T.StringType()),
+    T.StructField("contacts", T.ArrayType(T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("phones", T.ArrayType(T.StructType([
+            T.StructField("label", T.StringType()),
+            T.StructField("number", T.IntegerType()),
+        ]))),
+    ]))),
+    T.StructField("error", T.StringType()),
+])
+
+
+@F.pandas_udf(T.BinaryType())
+def _encode_directory_udf(scope: pd.Series, c_names: pd.Series,
+                          c_labels: pd.Series, c_numbers: pd.Series
+                          ) -> pd.Series:
+    """directory wire bytes: field 2 repeated contact, each contact a
+    length-delimited sub-message whose own field 2 is the repeated map-entry
+    encoding — two levels of length-delimited nesting per phone number."""
+    from ..functions.wire import py_field_len, py_field_string, py_field_varint
+
+    out = []
+    for sc, names, labels, numbers in zip(scope, c_names, c_labels, c_numbers):
+        buf = py_field_string(1, sc) if sc else b""
+        for j, nm in enumerate(names):
+            contact = py_field_string(1, nm) if nm else b""
+            for lab, num in zip(labels[j], numbers[j]):
+                entry = py_field_string(1, lab) + (
+                    py_field_varint(2, int(num)) if int(num) else b""
+                )
+                contact += py_field_len(2, entry)
+            buf += py_field_len(2, contact)
+        out.append(buf)
+    return pd.Series(out)
+
+
+def _make_directory_decode_udf(registry: SchemaRegistry):
+    @F.pandas_udf(DIRECTORY_DECODED)
+    def _decode(payload: pd.Series) -> pd.DataFrame:
+        cols: dict[str, list] = {"scope": [], "contacts": [], "error": []}
+        for buf in payload:
+            try:
+                d = py_decode(bytes(buf), registry, "directory")
+                cols["scope"].append(d["scope"])
+                cols["contacts"].append([
+                    (c["name"],
+                     [(k, v) for k, v in sorted(c["phone_numbers"].items())])
+                    for c in d["contacts"]
+                ])
+                cols["error"].append(None)
+            except ValueError:
+                cols["scope"].append(None)
+                cols["contacts"].append(None)
+                cols["error"].append(WIRE_ERROR)
+        return pd.DataFrame(cols)
+
+    return _decode
+
+
+def directory_roundtrip(df: DataFrame, registry: SchemaRegistry | None = None
+                        ) -> DataFrame:
+    """Encode (scope, c_names array<string>, c_labels array<array<string>>,
+    c_numbers array<array<int>>) as a directory message — repeated contact
+    sub-messages each holding a proto3 map — and decode back."""
+    reg = registry if registry is not None else default_registry()
+    enc = df.withColumn(
+        "payload",
+        _encode_directory_udf(F.col("scope"), F.col("c_names"),
+                              F.col("c_labels"), F.col("c_numbers")),
+    )
+    return enc.withColumn(
+        "decoded", _make_directory_decode_udf(reg)(F.col("payload"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # float (fixed32) + double (fixed64) on the wire
 # (ProbeResult latency double: spec/helpers/pb3/ProbeResult_pb.rb:13;
 #  RUM user-agent major/minor float: spec/helpers/pb3/rum_pb.rb:41-44)

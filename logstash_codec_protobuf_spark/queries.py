@@ -793,6 +793,59 @@ def pb_wire_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pb_wire_directory",
+    """
+SELECT event_id, pos.c_pos, pos.name, lbl.label, lbl.number FROM (
+  SELECT event_id,
+         CAST(0 AS INTEGER) AS c_pos, 'ca' || CAST(event_id AS STRING) AS name,
+         CAST(event_id % 1000 AS INTEGER) AS home,
+         CAST(event_id % 97 AS INTEGER) AS work
+  FROM events
+  UNION ALL
+  SELECT event_id, CAST(1 AS INTEGER), 'cb' || CAST(event_id AS STRING),
+         CAST((event_id + 7) % 1000 AS INTEGER),
+         CAST((event_id * 3) % 97 AS INTEGER)
+  FROM events
+) pos, LATERAL (VALUES ('home', pos.home), ('work', pos.work))
+       AS lbl(label, number)
+""",
+)
+def pb_wire_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPEATED messages each carrying a MAP through REAL wire bytes — the
+    repeated-top-level pattern (spec/helpers/pb3/events_pb.rb:7-16) at full
+    nesting depth: directory -> repeated contact -> map<string,int32>, three
+    levels of length-delimited framing. Decoded structure is double-exploded
+    to scalar rows (position-pinned contacts, label-sorted map entries)."""
+    e = F.col("event_id")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("dir"), (e % 10).cast("string")).alias("scope"),
+        F.array(F.concat(F.lit("ca"), e.cast("string")),
+                F.concat(F.lit("cb"), e.cast("string"))).alias("c_names"),
+        F.array(F.array(F.lit("home"), F.lit("work")),
+                F.array(F.lit("home"), F.lit("work"))).alias("c_labels"),
+        F.array(
+            F.array((e % 1000).cast("int"), (e % 97).cast("int")),
+            F.array(((e + 7) % 1000).cast("int"), ((e * 3) % 97).cast("int")),
+        ).alias("c_numbers"),
+    )
+    out = PW.directory_roundtrip(ev)
+    d = F.col("decoded")
+    contacts = out.select(
+        "event_id", F.posexplode(d["contacts"]).alias("c_pos", "c")
+    )
+    return contacts.select(
+        "event_id", "c_pos",
+        F.col("c")["name"].alias("name"),
+        F.explode(F.col("c")["phones"]).alias("ph"),
+    ).select(
+        "event_id", "c_pos", "name",
+        F.col("ph")["label"].alias("label"),
+        F.col("ph")["number"].alias("number"),
+    )
+
+
+@query(
     "pb_wire_float_double",
     """
 SELECT event_id,

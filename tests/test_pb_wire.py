@@ -332,3 +332,19 @@ def test_struct_malformed_dead_letters():
         raw = py_field_string(1, "u") + py_field_len(2, bad)
         with pytest.raises(ValueError, match="wire format"):
             W.py_decode(raw, reg, "send_json_request")
+
+
+def test_directory_repeated_message_with_map_py():
+    """directory -> repeated contact -> map entries: three levels of
+    length-delimited nesting (events_pb.rb:7-16 repeated-top-level shape)."""
+    reg = default_registry()
+    e1 = py_field_string(1, "home") + py_field_varint(2, 555)
+    c1 = py_field_string(1, "ada") + py_field_len(2, e1)
+    c2 = py_field_string(1, "bob")  # contact with an empty map
+    raw = (py_field_string(1, "eng")
+           + py_field_len(2, c1) + py_field_len(2, c2))
+    d = W.py_decode(raw, reg, "directory")
+    assert d["scope"] == "eng"
+    assert [c["name"] for c in d["contacts"]] == ["ada", "bob"]
+    assert d["contacts"][0]["phone_numbers"] == {"home": 555}
+    assert d["contacts"][1]["phone_numbers"] == {}
