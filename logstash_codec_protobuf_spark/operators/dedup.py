@@ -324,6 +324,87 @@ def simhash_oracle() -> str:
             f"SELECT doc_id, {d.simhash32('_hb')} AS simhash32 FROM _hb_basis")
 
 
+def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
+                   max_iter: int = 20) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the near-dup
+    pair graph, labeling every doc with the MIN doc_id of its component
+    (the canonical survivor a training-data dedup keeps).
+
+    Pair generation (LSH) finds edges; a real pipeline must still contract
+    them into clusters — A~B and B~C must collapse to one survivor even when
+    A~C was never a candidate pair. Spark-first shape: iterative min-label
+    propagation — each round one join (edges x labels) + one min-aggregate,
+    both shuffling on doc_id, materialized per round so lineage stays flat.
+    Rounds needed = component diameter; near-dup clusters are shallow (LSH
+    bands connect most members directly), so this converges in 2-4 rounds
+    with an exact emptiness check (no fixed-point guessing). At 10^12 docs
+    swap the propagation for alternating large-star/small-star contraction
+    (O(log n) rounds) — same per-round plan, fewer rounds on adversarially
+    deep chains.
+
+    Returns (doc_id, cluster_id, is_canonical) for EVERY doc (singletons are
+    their own cluster)."""
+    if pairs is None:
+        pairs = minhash_pairs(docs)
+    edges = cache.track(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .union(pairs.select(F.col("b_id").alias("src"),
+                            F.col("a_id").alias("dst")))
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id"))
+            .alias("cluster_id"),
+        )
+        # CUT THE LINEAGE each round: every iteration references the previous
+        # labels twice, so an un-truncated logical plan doubles per round —
+        # planning alone OOMs past ~10 rounds. localCheckpoint materializes
+        # the round and restarts lineage (on a cluster: checkpoint() to
+        # reliable storage so executor loss can't orphan the chain).
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1).count()  # emptiness probe, not a full count
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def dedup_clusters_oracle() -> str:
+    """Recursive-CTE twin: min reachable doc_id over the undirected pair
+    graph == the component minimum."""
+    return f"""
+WITH RECURSIVE pairs AS ({minhash_pairs_oracle()}),
+edges AS (
+  SELECT a_id AS s, b_id AS t FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.t, reach.r FROM edges e JOIN reach ON e.s = reach.node
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id,
+       node = MIN(r) AS is_canonical
+FROM reach GROUP BY node
+"""
+
+
 def _shingle_hashes_all(d: Dialect) -> str:
     """Frequency-PRESERVING (non-distinct) shingle-hash multiset — the
     weighted-SimHash basis: every occurrence votes, so each shingle's weight

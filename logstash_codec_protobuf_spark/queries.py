@@ -1345,6 +1345,15 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(_docs(spark, sf_dir))
 
 
+@query("dedup_clusters", DD.dedup_clusters_oracle())
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution over the LSH pair graph: connected
+    components by iterative min-label propagation; every doc labeled with
+    its component's min doc_id (the canonical survivor). Oracle: recursive
+    CTE computing min reachable id."""
+    return DD.dedup_clusters(_docs(spark, sf_dir))
+
+
 @query("simhash_weighted", DD.simhash_weighted_oracle())
 def simhash_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term-frequency-weighted SimHash: the majority vote over the

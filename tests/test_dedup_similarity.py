@@ -196,3 +196,36 @@ def test_multimodal_real_decode_gating(spark):
         )
         row = MM.extract_features(real, real_decode=True).first()
         assert (row["width"], row["height"]) == (20, 10)
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    """A~B and B~C must land in ONE cluster even with no A~C edge — the
+    property pair-generation alone can't give you."""
+    from logstash_codec_protobuf_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(7)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 4), (4, 6), (2, 3)], "a_id long, b_id long"  # chain 1-4-6; 2-3
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dedup_clusters(docs, pairs=pairs).collect()}
+    assert got[1] == (1, True) and got[4] == (1, False) and got[6] == (1, False)
+    assert got[2] == (2, True) and got[3] == (2, False)
+    assert got[0] == (0, True) and got[5] == (5, True)  # singletons
+
+
+def test_dedup_clusters_deep_chain_converges(spark):
+    """A maximally deep chain (worst-case diameter) still converges to one
+    component within the iteration bound."""
+    from logstash_codec_protobuf_spark.operators.dedup import dedup_clusters
+
+    n = 12
+    docs = spark.createDataFrame([(i, "x") for i in range(n)],
+                                 "doc_id long, text string")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "a_id long, b_id long")
+    out = dedup_clusters(docs, pairs=chain).collect()
+    assert {r["cluster_id"] for r in out} == {0}
+    assert sum(r["is_canonical"] for r in out) == 1
