@@ -465,6 +465,120 @@ aggregate.turn_order_segmented), so both operators ride the same fix.
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def run_docscale(sf_dir: str, sf: str) -> dict:
+    """Dedup-tier scale stress: the documents table replicated 1x/10x/100x
+    with a per-replica character substitution (translate over rep-derived
+    vowel mappings) so replicas are DISTINCT documents — pair counts grow
+    ~linearly and the measurement isolates the engine's candidate-generation
+    cost from the quadratic output a truly duplicated corpus implies.
+
+    Evidence target: LSH candidate generation is O(n * bands) + output, the
+    fingerprint stages are O(n) — wall time must grow ~linearly with the
+    corpus, never quadratically (the all-pairs trap)."""
+    from pyspark.sql import functions as F
+
+    from logstash_codec_protobuf_spark.operators import dedup as DD
+
+    repls = [int(x) for x in os.environ.get(
+        "SPARK_GRAFT_DOCSCALE_REPLS", "1,10,100").split(",")]
+    spark = make_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    results: dict[int, dict] = {}
+    try:
+        docs0 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        n0 = docs0.count()
+        # untimed warm pass: JVM/codegen/Python-worker init must not be
+        # billed to the smallest corpus (it made 1x slower than 4x)
+        from logstash_codec_protobuf_spark import cache as _c
+        DD.minhash_pairs(docs0).count()
+        _c.release_tracked()
+        DD.dedup_clusters(docs0).count()
+        _c.release_tracked()
+        for k in repls:
+            stage = tempfile.mkdtemp(prefix=f"bench_docscale_{k}_")
+            reps = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_rep")
+            # mapping must be injective over rep (rep%26 AND rep div 26 both
+            # feed it) — a colliding mapping makes identical replicas, whose
+            # LSH cliques add the quadratic output this mode must exclude
+            sub = ("concat(char(97 + _rep % 26), char(97 + (_rep*3+1) % 26),"
+                   " char(97 + (_rep*5+2) % 26), char(97 + (_rep*7+3) % 26),"
+                   " char(97 + (_rep*11+4) % 26),"
+                   " char(97 + (_rep div 26) % 26),"
+                   " char(97 + (_rep div 26 * 3 + 5) % 26))")
+            big = (
+                docs0.select("*", reps)
+                .withColumn("doc_id",
+                            F.col("doc_id") + F.col("_rep") * (n0 + 1))
+                .withColumn("text",
+                            F.expr(f"translate(text, 'aeioust', {sub})"))
+                .drop("_rep")
+            )
+            big.repartition(max(32, k)).write.mode("overwrite").parquet(stage)
+            docs = spark.read.parquet(stage)
+            n = docs.count()
+
+            t_bands = _timed(lambda: DD.minhash_bands(docs).count())
+            from logstash_codec_protobuf_spark import cache
+            cache.release_tracked()
+            n_pairs = [0]
+
+            def _pairs():
+                n_pairs[0] = DD.minhash_pairs(docs).count()
+
+            t_pairs = _timed(_pairs)
+            cache.release_tracked()
+            t_exact = _timed(
+                lambda: docs.groupBy(F.md5("text")).count().count())
+            t_clusters = _timed(lambda: DD.dedup_clusters(docs).count())
+            cache.release_tracked()
+            results[k] = {
+                "n_docs": n, "minhash_bands_sec": round(t_bands, 2),
+                "lsh_pairs_sec": round(t_pairs, 2), "n_pairs": n_pairs[0],
+                "exact_dedup_sec": round(t_exact, 2),
+                "clusters_sec": round(t_clusters, 2),
+            }
+            shutil.rmtree(stage, ignore_errors=True)
+    finally:
+        spark.stop()
+
+    base = results[repls[0]]
+    report: dict = {"sf": sf, "repls": repls,
+                    **{f"x{k}": v for k, v in results.items()}}
+    rows = []
+    for k in repls:
+        r = results[k]
+        rows.append(
+            f"| {k}x | {r['n_docs']:,} | {r['minhash_bands_sec']} | "
+            f"{r['lsh_pairs_sec']} | {r['n_pairs']:,} | "
+            f"{r['exact_dedup_sec']} | {r['clusters_sec']} |"
+        )
+    hi = repls[-1]
+    growth = results[hi]["lsh_pairs_sec"] / max(base["lsh_pairs_sec"], 1e-9)
+    report["pairs_time_growth_at_max"] = round(growth, 2)
+    report["input_growth_at_max"] = hi / repls[0]
+    md = f"""# Dedup-tier scale stress — candidate generation vs corpus size
+
+Documents replicated with per-replica character substitution: replicas are
+distinct documents but stay near-dups of their base through the consonant
+skeleton, so the PAIR OUTPUT grows superlinearly (a worst case for the
+candidate join) while the input grows {hi}x. An all-pairs design would pay
+{hi * hi}x time on input alone; banded LSH must stay ~linear in input +
+output.
+
+| corpus | docs | minhash bands sec | LSH pairs sec | pairs found | exact dedup sec | clusters sec |
+| --- | --- | --- | --- | --- | --- | --- |
+{chr(10).join(rows)}
+
+At {hi}x input, LSH candidate-pair time grew **{growth:.1f}x** (quadratic
+would be {hi * hi // repls[0]}x). Fingerprint stages are narrow 1:1 scans;
+cluster resolution is per-round shuffles over labels, rounds bounded by
+component diameter.
+"""
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/dedup_scale_latest.md", "w") as f:
+        f.write(md)
+    return report
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -476,6 +590,10 @@ def main() -> None:
 
     if "--skew" in sys.argv:
         print(json.dumps(run_skew(sf_dir, sf)))
+        return
+
+    if "--docscale" in sys.argv:
+        print(json.dumps(run_docscale(sf_dir, sf)))
         return
 
     r = run_once(cpus, sf_dir)
