@@ -377,6 +377,128 @@ def _decode_map_entry(data: bytes, ktype: str, vtype: str,
 
 
 # ---------------------------------------------------------------------------
+# generic registry-driven encoder (the encode twin of py_decode)
+# ---------------------------------------------------------------------------
+
+def _enc_varint_val(v, ftype: str, registry: SchemaRegistry) -> int:
+    """Value -> raw varint payload per declared type (inverse of
+    _typed_varint)."""
+    from ..functions.wire import py_zigzag
+
+    if ftype.startswith("enum:"):
+        if isinstance(v, str):
+            code = registry.enums[ftype[5:]].code_of(v)
+            if code is None:
+                raise ValueError(f"unknown enum name {v!r} for {ftype}")
+            return code
+        return int(v)
+    if ftype in ("sint32", "sint64"):
+        return py_zigzag(int(v))
+    if ftype == "bool":
+        return 1 if v else 0
+    return int(v)
+
+
+def py_encode(value: dict, registry: SchemaRegistry, message: str,
+              proto_version: int = 3) -> bytes:
+    """dict -> wire bytes per the registered message spec — the generic
+    inverse of ``py_decode`` (the reference's ``serialize_to_string`` seat,
+    protobuf.rb:635-636). Presence rules:
+
+    - proto3 scalars are omitted at their default (0 / '' / False / b''),
+    - oneof members are emitted whenever the key is present and non-None
+      (chosen-member rule, even at the default value),
+    - message fields are emitted whenever non-None (explicit presence),
+    - repeated varint/enum fields use proto3 PACKED encoding; repeated
+      strings/bytes/messages emit one tag per element,
+    - maps emit one {1: key, 2: value} entry message per item.
+    """
+    from ..functions.wire import (
+        py_field_len, py_field_varint, py_varint,
+    )
+
+    spec = registry.messages[message]
+    out = b""
+    for num, f in spec.wire_fields():
+        v = value.get(f.name)
+        if v is None:
+            continue
+        if f.type.startswith("map<"):
+            ktype, vtype = (t.strip() for t in f.type[4:-1].split(",", 1))
+            for k, mv in v.items():
+                entry = b""
+                if k != ("" if ktype == "string" else 0):
+                    entry += (py_field_len(1, k.encode("utf-8"))
+                              if ktype == "string"
+                              else py_field_varint(
+                                  1, _enc_varint_val(k, ktype, registry)))
+                if mv != ("" if vtype == "string" else 0):
+                    entry += (py_field_len(2, mv.encode("utf-8"))
+                              if vtype == "string"
+                              else py_field_varint(
+                                  2, _enc_varint_val(mv, vtype, registry)))
+                out += py_field_len(num, entry)
+            continue
+        if f.repeated:
+            if not v:
+                continue
+            kind = _scalar_kind(f.type)
+            if kind == "varint":
+                out += py_field_len(num, b"".join(
+                    py_varint(_enc_varint_val(x, f.type, registry))
+                    for x in v
+                ))
+            elif f.type.startswith("message:"):
+                for x in v:
+                    out += py_field_len(num, py_encode(
+                        x, registry, f.type[8:], proto_version))
+            elif f.type == "string":
+                for x in v:
+                    out += py_field_len(num, x.encode("utf-8"))
+            elif f.type == "bytes":
+                for x in v:
+                    out += py_field_len(num, bytes(x))
+            else:
+                raise ValueError(f"unsupported repeated type: {f.type}")
+            continue
+        if f.type.startswith("message:"):
+            out += py_field_len(num, py_encode(v, registry, f.type[8:],
+                                               proto_version))
+            continue
+        kind = _scalar_kind(f.type)
+        if kind == "varint":
+            raw = _enc_varint_val(v, f.type, registry)
+            if raw == 0 and not f.oneof:
+                continue  # proto3 implicit presence
+            out += py_field_varint(num, raw)
+        elif f.type == "string":
+            if v == "" and not f.oneof:
+                continue
+            out += py_field_len(num, v.encode("utf-8"))
+        elif f.type == "bytes":
+            if len(v) == 0 and not f.oneof:
+                continue
+            out += py_field_len(num, bytes(v))
+        elif f.type == "double":
+            if v == 0.0 and not f.oneof:
+                continue
+            out += py_tag_bytes(num, 1) + struct.pack("<d", float(v))
+        elif f.type == "float":
+            if v == 0.0 and not f.oneof:
+                continue
+            out += py_tag_bytes(num, 5) + struct.pack("<f", float(v))
+        else:
+            raise ValueError(f"unsupported type: {f.type}")
+    return out
+
+
+def py_tag_bytes(field_num: int, wire_type: int) -> bytes:
+    from ..functions.wire import py_tag
+
+    return py_tag(field_num, wire_type)
+
+
+# ---------------------------------------------------------------------------
 # turn_wire: the transcript turn as real protobuf bytes
 # ---------------------------------------------------------------------------
 
@@ -1246,6 +1368,99 @@ def human_lineage_roundtrip(df: DataFrame,
     )
     return enc.withColumn("decoded",
                           _make_human_decode_udf(reg)(F.col("payload")))
+
+
+# ---------------------------------------------------------------------------
+# akamai_rum: the reference's widest real-world fixture on the wire
+# (spec/helpers/pb3/rum_pb.rb:7-77): 15-field envelope, four nested
+# messages, floats at depth 2, bool, repeated string
+# ---------------------------------------------------------------------------
+
+RUM_DECODED = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("hdr_ts", T.LongType()),
+    T.StructField("sender", T.StringType()),
+    T.StructField("version", T.StringType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("session_id", T.StringType()),
+    T.StructField("locale", T.StringType()),
+    T.StructField("ua_family", T.StringType()),
+    T.StructField("ua_major", T.DoubleType()),
+    T.StructField("geo_cc", T.StringType()),
+    T.StructField("geo_lat", T.DoubleType()),
+    T.StructField("geo_ovr", T.BooleanType()),
+    T.StructField("fcp", T.IntegerType()),
+    T.StructField("tti", T.IntegerType()),
+    T.StructField("longtasks", T.DoubleType()),
+    T.StructField("ctests", T.StringType()),
+    T.StructField("dom_script", T.IntegerType()),
+    T.StructField("domain", T.StringType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def akamai_rum_roundtrip(df: DataFrame,
+                         registry: SchemaRegistry | None = None) -> DataFrame:
+    """Encode each row as a full akamai_rum message via the generic
+    registry-driven encoder (py_encode), decode the REAL wire bytes back
+    (py_decode), and emit the flattened projection — one mapInPandas Arrow
+    stage for the whole width (a 20-series pandas_udf signature would add
+    nothing but plumbing). ``n_bytes`` carries the wire size as evidence the
+    bytes exist."""
+    reg = registry if registry is not None else default_registry()
+
+    def _roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                value = {
+                    "header": {"unix_timestamp": int(r.hdr_ts),
+                               "sender_id": r.sender},
+                    "version": r.version, "url": r.url,
+                    "session_id": r.session_id, "locale": r.locale,
+                    "user_agent": {"family": r.ua_family,
+                                   "major": float(r.ua_major),
+                                   "minor": float(r.ua_minor),
+                                   "os": r.ua_os},
+                    "geo": {"cc": r.geo_cc, "city": r.geo_city,
+                            "lat": float(r.geo_lat), "lon": float(r.geo_lon),
+                            "ovr": bool(r.geo_ovr)},
+                    "timers": {"t_resp": int(r.t_resp), "fid": int(r.fid),
+                               "fcp": int(r.fcp), "tti": int(r.tti),
+                               "ttvr": int(r.ttvr),
+                               "longtasks": float(r.longtasks)},
+                    "page_group": r.page_group,
+                    "active_ctests": [r.ctest1, r.ctest2],
+                    "dom": {"script": int(r.dom_script),
+                            "ext": int(r.dom_ext), "ln": int(r.dom_ln)},
+                    "domain": r.domain, "timestamp": r.ts_str,
+                }
+                buf = py_encode(value, reg, "akamai_rum")
+                try:
+                    d = py_decode(buf, reg, "akamai_rum")
+                    h, ua = d["header"] or {}, d["user_agent"] or {}
+                    geo, tm = d["geo"] or {}, d["timers"] or {}
+                    dom = d["dom"] or {}
+                    rows.append((
+                        int(r.event_id), len(buf),
+                        h.get("unix_timestamp"), h.get("sender_id"),
+                        d["version"], d["url"], d["session_id"], d["locale"],
+                        ua.get("family"), ua.get("major"),
+                        geo.get("cc"), geo.get("lat"), geo.get("ovr"),
+                        tm.get("fcp"), tm.get("tti"), tm.get("longtasks"),
+                        ",".join(d["active_ctests"]), dom.get("script"),
+                        d["domain"], None,
+                    ))
+                except ValueError:
+                    rows.append((int(r.event_id), len(buf))
+                                + (None,) * 17 + (WIRE_ERROR,))
+            out = pd.DataFrame(rows, columns=[f.name for f in RUM_DECODED])
+            for c in ("fcp", "tti", "dom_script"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return df.mapInPandas(_roundtrip, RUM_DECODED)
 
 
 # ---------------------------------------------------------------------------

@@ -846,6 +846,85 @@ def pb_wire_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pb_wire_rum",
+    """
+SELECT event_id,
+       event_id * 1000 + 1700000000000 AS hdr_ts,
+       's' || CAST(event_id % 20 AS STRING) AS sender,
+       '1.' || CAST(event_id % 3 AS STRING) AS version,
+       'https://ex.com/p' || CAST(event_id % 100 AS STRING) AS url,
+       'sess' || CAST(event_id AS STRING) AS session_id,
+       CASE WHEN event_id % 2 = 0 THEN 'en-US' ELSE 'de-DE' END AS locale,
+       'fam' || CAST(event_id % 5 AS STRING) AS ua_family,
+       CAST(CAST(event_id % 100 AS REAL) + CAST(0.25 AS REAL) AS DOUBLE)
+           AS ua_major,
+       'C' || CAST(event_id % 26 AS STRING) AS geo_cc,
+       CAST(CAST(event_id % 180 - 90 AS REAL) + CAST(0.5 AS REAL) AS DOUBLE)
+           AS geo_lat,
+       event_id % 3 = 0 AS geo_ovr,
+       CAST(event_id % 3000 AS INTEGER) AS fcp,
+       CAST(event_id % 5000 AS INTEGER) AS tti,
+       CAST(CAST(event_id % 50 AS REAL) + CAST(0.5 AS REAL) AS DOUBLE)
+           AS longtasks,
+       't' || CAST(event_id % 7 AS STRING) || ',u'
+           || CAST(event_id % 11 AS STRING) AS ctests,
+       CAST(event_id % 40 AS INTEGER) AS dom_script,
+       'd' || CAST(event_id % 30 AS STRING) AS domain
+FROM events
+""",
+)
+def pb_wire_rum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's widest real-world fixture — the 15-field Akamai-RUM
+    envelope (rum_pb.rb:7-77, the pb3_decode_spec akamai scenario) — through
+    REAL wire bytes via the GENERIC registry-driven encoder (py_encode) and
+    the wire parser: header int64 at depth 1, float32s at depth 2
+    (user_agent.major, geo.lat, timers.longtasks), bool, repeated string,
+    four nested messages, proto3 zero-omission throughout (tti/fcp/dom
+    values hit 0). The oracle reconstructs every projected field from the
+    generator arithmetic."""
+    e = F.col("event_id")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (e * 1000 + 1700000000000).alias("hdr_ts"),
+        F.concat(F.lit("s"), (e % 20).cast("string")).alias("sender"),
+        F.concat(F.lit("1."), (e % 3).cast("string")).alias("version"),
+        F.concat(F.lit("https://ex.com/p"), (e % 100).cast("string"))
+        .alias("url"),
+        F.concat(F.lit("sess"), e.cast("string")).alias("session_id"),
+        F.when(e % 2 == 0, "en-US").otherwise("de-DE").alias("locale"),
+        F.concat(F.lit("fam"), (e % 5).cast("string")).alias("ua_family"),
+        ((e % 100).cast("float") + F.lit(0.25).cast("float"))
+        .cast("float").alias("ua_major"),
+        (e * 0.1).cast("float").alias("ua_minor"),
+        F.concat(F.lit("os"), (e % 3).cast("string")).alias("ua_os"),
+        F.concat(F.lit("C"), (e % 26).cast("string")).alias("geo_cc"),
+        F.concat(F.lit("city"), (e % 50).cast("string")).alias("geo_city"),
+        ((e % 180 - 90).cast("float") + F.lit(0.5).cast("float"))
+        .cast("float").alias("geo_lat"),
+        ((e % 360 - 180).cast("float") + F.lit(0.25).cast("float"))
+        .cast("float").alias("geo_lon"),
+        (e % 3 == 0).alias("geo_ovr"),
+        (e % 500).cast("int").alias("t_resp"),
+        (e % 100).cast("int").alias("fid"),
+        (e % 3000).cast("int").alias("fcp"),
+        (e % 5000).cast("int").alias("tti"),
+        (e % 7).cast("int").alias("ttvr"),
+        ((e % 50).cast("float") + F.lit(0.5).cast("float"))
+        .cast("float").alias("longtasks"),
+        F.concat(F.lit("pg"), (e % 4).cast("string")).alias("page_group"),
+        F.concat(F.lit("t"), (e % 7).cast("string")).alias("ctest1"),
+        F.concat(F.lit("u"), (e % 11).cast("string")).alias("ctest2"),
+        (e % 40).cast("int").alias("dom_script"),
+        (e % 20).cast("int").alias("dom_ext"),
+        (e % 1000).cast("int").alias("dom_ln"),
+        F.concat(F.lit("d"), (e % 30).cast("string")).alias("domain"),
+        F.lit("2026-01-01T00:00:00").alias("ts_str"),
+    )
+    out = PW.akamai_rum_roundtrip(ev)
+    return out.drop("n_bytes", "error")  # n_bytes is pytest evidence
+
+
+@query(
     "pb_wire_float_double",
     """
 SELECT event_id,

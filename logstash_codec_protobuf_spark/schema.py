@@ -397,6 +397,83 @@ def default_registry() -> SchemaRegistry:
             ),
         )
     )
+    # Akamai-RUM wide message family (spec/helpers/pb3/rum_pb.rb:7-77): the
+    # reference's largest real-world fixture — a 15-field envelope with four
+    # nested messages (header/user_agent/geo/timers/dom), float fields at
+    # depth 2, a bool, and a repeated string.
+    reg.register_message(
+        MessageSpec(
+            "proto_header",
+            (
+                FieldSpec("unix_timestamp", "int64", number=1),
+                FieldSpec("sender_id", "string", number=2),
+            ),
+        )
+    )
+    reg.register_message(
+        MessageSpec(
+            "rum_geo",
+            (
+                FieldSpec("cc", "string", number=1),
+                FieldSpec("city", "string", number=2),
+                FieldSpec("isp", "string", number=3),
+                FieldSpec("lat", "float", number=4),
+                FieldSpec("lon", "float", number=5),
+                FieldSpec("netspeed", "string", number=6),
+                FieldSpec("organisation", "string", number=7),
+                FieldSpec("ovr", "bool", number=8),
+                FieldSpec("postalcode", "string", number=9),
+                FieldSpec("rg", "string", number=10),
+            ),
+        )
+    )
+    reg.register_message(
+        MessageSpec(
+            "rum_timers",
+            (
+                FieldSpec("t_resp", "int32", number=1),
+                FieldSpec("fid", "int32", number=2),
+                FieldSpec("fcp", "int32", number=3),
+                FieldSpec("tti", "int32", number=4),
+                FieldSpec("ttfi", "int32", number=5),
+                FieldSpec("ttvr", "int32", number=6),
+                FieldSpec("longtasks", "float", number=7),
+            ),
+        )
+    )
+    reg.register_message(
+        MessageSpec(
+            "rum_dom",
+            (
+                FieldSpec("script", "int32", number=1),
+                FieldSpec("ext", "int32", number=2),
+                FieldSpec("ln", "int32", number=3),
+            ),
+        )
+    )
+    reg.register_message(
+        MessageSpec(
+            "akamai_rum",
+            (
+                FieldSpec("header", "message:proto_header", number=1),
+                FieldSpec("version", "string", number=2),
+                FieldSpec("url", "string", number=3),
+                FieldSpec("http_referer", "string", number=4),
+                FieldSpec("session_id", "string", number=5),
+                FieldSpec("tracking_id", "string", number=6),
+                FieldSpec("locale", "string", number=7),
+                FieldSpec("user_agent", "message:user_agent", number=8),
+                FieldSpec("geo", "message:rum_geo", number=9),
+                FieldSpec("timers", "message:rum_timers", number=10),
+                FieldSpec("page_group", "string", number=11),
+                FieldSpec("active_ctests", "string", repeated=True,
+                          number=12),
+                FieldSpec("dom", "message:rum_dom", number=13),
+                FieldSpec("domain", "string", number=14),
+                FieldSpec("timestamp", "string", number=15),
+            ),
+        )
+    )
     # google.protobuf.Struct carrier (spec/helpers/pb3/struct_test_pb.rb:8-14,
     # decode branch protobuf.rb:290-294): Details is a Struct — arbitrary JSON
     # riding in protobuf's well-known map<string,Value> encoding.

@@ -348,3 +348,42 @@ def test_directory_repeated_message_with_map_py():
     assert [c["name"] for c in d["contacts"]] == ["ada", "bob"]
     assert d["contacts"][0]["phone_numbers"] == {"home": 555}
     assert d["contacts"][1]["phone_numbers"] == {}
+
+
+def test_rum_wide_message_bytes_exist(spark):
+    """The RUM round trip must put real bytes on the wire (n_bytes carries
+    the envelope size) and reproduce the depth-2 float exactly."""
+    from logstash_codec_protobuf_spark.queries import pb_wire_rum
+
+    rows = pb_wire_rum(spark, SF_DIR).limit(5).collect()
+    assert all(r["ua_major"] == (r["event_id"] % 100) + 0.25 for r in rows)
+    # the query drops n_bytes; probe byte evidence via the raw operator
+    from logstash_codec_protobuf_spark.operators.pb_wire import (
+        akamai_rum_roundtrip,
+    )
+    import pyspark.sql.functions as SF
+
+    probe = spark.range(3).select(
+        SF.col("id").alias("event_id"),
+        SF.lit(1700000000123).alias("hdr_ts"), SF.lit("s1").alias("sender"),
+        SF.lit("1.0").alias("version"), SF.lit("https://x").alias("url"),
+        SF.lit("sess").alias("session_id"), SF.lit("en-US").alias("locale"),
+        SF.lit("fam").alias("ua_family"),
+        SF.lit(2.5).cast("float").alias("ua_major"),
+        SF.lit(0.5).cast("float").alias("ua_minor"),
+        SF.lit("os").alias("ua_os"), SF.lit("CC").alias("geo_cc"),
+        SF.lit("city").alias("geo_city"),
+        SF.lit(1.5).cast("float").alias("geo_lat"),
+        SF.lit(2.25).cast("float").alias("geo_lon"),
+        SF.lit(True).alias("geo_ovr"),
+        SF.lit(1).alias("t_resp"), SF.lit(2).alias("fid"),
+        SF.lit(3).alias("fcp"), SF.lit(4).alias("tti"),
+        SF.lit(5).alias("ttvr"), SF.lit(1.5).cast("float").alias("longtasks"),
+        SF.lit("pg").alias("page_group"), SF.lit("t1").alias("ctest1"),
+        SF.lit("u1").alias("ctest2"), SF.lit(6).alias("dom_script"),
+        SF.lit(7).alias("dom_ext"), SF.lit(8).alias("dom_ln"),
+        SF.lit("d").alias("domain"), SF.lit("2026").alias("ts_str"),
+    )
+    r = akamai_rum_roundtrip(probe).first()
+    assert r["n_bytes"] > 80 and r["error"] is None
+    assert r["geo_lat"] == 1.5 and r["geo_ovr"] is True
