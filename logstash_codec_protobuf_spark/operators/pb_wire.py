@@ -722,23 +722,39 @@ def decode_turn_wire_jvm(df: DataFrame, payload_col: str = "payload",
 
 def decode_turn_wire(df: DataFrame, payload_col: str = "payload",
                      registry: SchemaRegistry | None = None,
-                     proto_version: int = 3, impl: str = "auto") -> DataFrame:
+                     proto_version: int = 3, impl: str = "auto",
+                     oneof_metainfo: bool = True) -> DataFrame:
     """BinaryType payload -> ``decoded`` struct column (1:1 projection).
     Pass ``registry`` to decode with schema specs loaded from disk;
     ``proto_version=2`` keeps enum codes as ints (pb2 dialect).
 
     ``impl``: 'auto' uses the JVM-native ``from_protobuf`` path whenever the
     spark-protobuf jar is on the classpath (no Python workers), else the
-    Arrow-batch UDF; 'jvm'/'arrow' force a path."""
+    Arrow-batch UDF; 'jvm'/'arrow' force a path.
+
+    ``oneof_metainfo``: mirrors the reference's ``pb3_set_oneof_metainfo``
+    config (protobuf.rb:110-116, spec/codecs/pb3_decode_spec.rb:347-452 —
+    whose DEFAULT is false): when disabled the chosen-member discriminator
+    column is nulled; member values themselves always decode."""
     if impl not in ("auto", "jvm", "arrow"):
         raise ValueError(f"unknown decode impl: {impl}")
     if impl == "jvm" or (
         impl == "auto" and spark_protobuf_available(df.sparkSession)
     ):
-        return decode_turn_wire_jvm(df, payload_col, registry, proto_version)
-    udf = _make_decode_udf(registry if registry is not None
-                           else default_registry(), proto_version)
-    return df.withColumn("decoded", udf(F.col(payload_col)))
+        out = decode_turn_wire_jvm(df, payload_col, registry, proto_version)
+    else:
+        udf = _make_decode_udf(registry if registry is not None
+                               else default_registry(), proto_version)
+        out = df.withColumn("decoded", udf(F.col(payload_col)))
+    if not oneof_metainfo:
+        schema = (TURN_WIRE_DECODED if proto_version == 3
+                  else TURN_WIRE_DECODED_PB2)
+        out = out.withColumn("decoded", F.struct(*[
+            (F.lit(None).cast("string") if f.name == "oneof_body"
+             else F.col("decoded")[f.name]).alias(f.name)
+            for f in schema
+        ]))
+    return out
 
 
 # ---------------------------------------------------------------------------

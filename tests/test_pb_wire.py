@@ -387,3 +387,48 @@ def test_rum_wide_message_bytes_exist(spark):
     r = akamai_rum_roundtrip(probe).first()
     assert r["n_bytes"] > 80 and r["error"] is None
     assert r["geo_lat"] == 1.5 and r["geo_ovr"] is True
+
+
+def test_oneof_metainfo_toggle(spark):
+    """pb3_set_oneof_metainfo (protobuf.rb:110-116, default FALSE in the
+    reference): disabling it nulls the discriminator but keeps member
+    values; enabling it names the chosen member."""
+    v = {"conv_id": "c", "body_type": "pegasus", "wings": 4}
+    payload = W.py_encode_turn(v)
+    df = spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    on = W.decode_turn_wire(df, impl="arrow").first()["decoded"]
+    off = W.decode_turn_wire(df, impl="arrow",
+                             oneof_metainfo=False).first()["decoded"]
+    assert on["oneof_body"] == "wings" and on["wings"] == 4
+    assert off["oneof_body"] is None and off["wings"] == 4
+
+
+def test_nested_oneof_metainfo():
+    """Nested double-choice oneof (spec/codecs/pb3_decode_spec.rb:529-559 /
+    594-639): the nested message records its OWN chosen member, independent
+    of the outer message's oneofs."""
+    from logstash_codec_protobuf_spark.schema import (
+        FieldSpec, MessageSpec, SchemaRegistry,
+    )
+
+    reg = SchemaRegistry()
+    reg.register_message(MessageSpec("inner", (
+        FieldSpec("label", "string", number=1),
+        FieldSpec("phone", "int32", oneof="contact", number=2),
+        FieldSpec("email", "string", oneof="contact", number=3),
+    )))
+    reg.register_message(MessageSpec("outer", (
+        FieldSpec("name", "string", number=1),
+        FieldSpec("nested", "message:inner", number=2),
+        FieldSpec("horn", "int32", oneof="body", number=3),
+        FieldSpec("wings", "int32", oneof="body", number=4),
+    )))
+    raw = W.py_encode(
+        {"name": "x", "wings": 9,
+         "nested": {"label": "l", "email": "e@x"}},
+        reg, "outer",
+    )
+    d = W.py_decode(raw, reg, "outer")
+    assert d["_pb_oneof"] == {"body": "wings"}
+    assert d["nested"]["_pb_oneof"] == {"contact": "email"}
+    assert d["nested"]["email"] == "e@x" and d["nested"]["phone"] is None
