@@ -1752,6 +1752,97 @@ def tpch_q5_local_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "role_cents_quantiles",
+    _oracle(
+        """
+SELECT role,
+       MIN(CASE WHEN cum >= CAST(CEIL(0.5 * n) AS BIGINT) THEN cents END)
+           AS p50_cents,
+       MIN(CASE WHEN cum >= CAST(CEIL(0.95 * n) AS BIGINT) THEN cents END)
+           AS p95_cents,
+       CAST(MAX(n) AS BIGINT) AS n
+FROM (
+  SELECT role, cents,
+         SUM(c) OVER (PARTITION BY role ORDER BY cents) AS cum,
+         SUM(c) OVER (PARTITION BY role) AS n
+  FROM (SELECT role, cents, count(*) AS c
+        FROM _tr_num WHERE event_id % 37 <> 0
+        GROUP BY role, cents)
+)
+GROUP BY role
+"""
+    ),
+)
+def role_cents_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-role p50/p95 of cents — engine-portable (Spark and DuckDB
+    percentile()/quantile_cont() interpolate with different float op order,
+    off by one ulp) and scale-safe: the classic histogram + cumulative-count
+    plan. groupBy (role, cents) collapses 10^12 rows to the DISTINCT value
+    domain per role; the window then runs over that small histogram — never
+    a per-row sort inside a 3-key partition (the hot-key wall an exact
+    rank-percentile over raw rows would hit)."""
+    from pyspark.sql import Window
+
+    flat = _good_flat(spark, sf_dir)
+    hist = flat.groupBy("role", "cents").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("role").orderBy("cents")
+    cum = hist.select(
+        "role", "cents",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy("role").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    pick = lambda q: F.min(  # noqa: E731
+        F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")).cast("long"),
+               F.col("cents"))
+    )
+    return cum.groupBy("role").agg(
+        pick(0.5).alias("p50_cents"),
+        pick(0.95).alias("p95_cents"),
+        F.max("n").cast("long").alias("n"),
+    )
+
+
+@query(
+    "role_tool_setops",
+    _oracle(
+        """
+SELECT 'both' AS which, tool FROM (
+  SELECT DISTINCT tool FROM _tr_num WHERE event_id % 37 <> 0
+     AND role = 'user'
+  INTERSECT
+  SELECT DISTINCT tool FROM _tr_num WHERE event_id % 37 <> 0
+     AND role = 'assistant'
+)
+UNION ALL
+SELECT 'user_only', tool FROM (
+  SELECT DISTINCT tool FROM _tr_num WHERE event_id % 37 <> 0
+     AND role = 'user'
+  EXCEPT
+  SELECT DISTINCT tool FROM _tr_num WHERE event_id % 37 <> 0
+     AND role = 'assistant'
+)
+"""
+    ),
+)
+def role_tool_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit set operations (SURVEY 2.8): tools used by BOTH user and
+    assistant roles (INTERSECT) and by user only (EXCEPT). Both plan as
+    distinct-aggregates + a hash anti/semi join — no full-table sort."""
+    flat = _good_flat(spark, sf_dir)
+    user = flat.filter(F.col("role") == "user").select("tool").distinct()
+    asst = flat.filter(F.col("role") == "assistant").select("tool").distinct()
+    both = user.intersect(asst).select(F.lit("both").alias("which"), "tool")
+    only = user.exceptAll(asst).select(
+        F.lit("user_only").alias("which"), "tool"
+    )
+    return both.unionByName(only)
+
+
+@query(
     "tpch_q3_shipping",
     """
 SELECT l.l_orderkey AS orderkey,
