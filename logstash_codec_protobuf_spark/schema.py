@@ -557,6 +557,7 @@ def load_schema_file(path: str, registry: SchemaRegistry | None = None
 
 def register_codec(class_name: str, class_file: str | None = None,
                    include_path: list[str] | None = None,
+                   protobuf_root_directory: str | None = None,
                    registry: SchemaRegistry | None = None) -> SchemaRegistry:
     """Config-validated registry construction — the reference plugin's
     ``register`` (protobuf.rb:164-199) with its ConfigurationError cases
@@ -564,9 +565,13 @@ def register_codec(class_name: str, class_file: str | None = None,
 
     - `include_path` and `class_file` together -> error (mutually exclusive),
     - neither -> error (one is required),
+    - `protobuf_root_directory` prefixes every RELATIVE spec path (absolute
+      paths pass through unchanged — protobuf.rb:186),
     - re-registering the same valid configuration -> idempotent no-op
       (SchemaRegistry.register_* already tolerates identical re-registration).
     """
+    import os.path
+
     if class_file and include_path:
         raise SchemaRegistryError(
             "Use only one of `include_path` and `class_file`; they are "
@@ -576,8 +581,15 @@ def register_codec(class_name: str, class_file: str | None = None,
         raise SchemaRegistryError(
             "Need either `include_path` or `class_file` to load the schema"
         )
+    root = (protobuf_root_directory or "").strip()
+
+    def _resolve(p: str) -> str:
+        if root and not os.path.isabs(p):
+            return os.path.join(root, p)
+        return p
+
     reg = registry if registry is not None else SchemaRegistry()
     for p in ([class_file] if class_file else list(include_path)):
-        load_schema_file(p, reg)
+        load_schema_file(_resolve(p), reg)
     reg.validate(class_name)
     return reg

@@ -142,3 +142,22 @@ def test_load_schema_file_invalid_inputs(tmp_path):
     empty.write_text(json.dumps({"enums": {"E": {"0": "A"}}}))
     with pytest.raises(SchemaRegistryError, match="Invalid protobuf file"):
         load_schema_file(str(empty))
+
+
+def test_register_codec_root_directory(tmp_path):
+    """protobuf_root_directory prefixes relative spec paths; absolute paths
+    pass through (protobuf.rb:180-186)."""
+    import shutil
+
+    from logstash_codec_protobuf_spark.schema import register_codec
+
+    spec_src = ("logstash_codec_protobuf_spark/schemas/turn_wire.json")
+    shutil.copy(spec_src, tmp_path / "turn_wire.json")
+    reg = register_codec("turn_wire", class_file="turn_wire.json",
+                         protobuf_root_directory=str(tmp_path))
+    assert "turn_wire" in reg.messages
+    # absolute path ignores the root
+    reg2 = register_codec("turn_wire",
+                          class_file=str(tmp_path / "turn_wire.json"),
+                          protobuf_root_directory="/nonexistent")
+    assert "turn_wire" in reg2.messages
