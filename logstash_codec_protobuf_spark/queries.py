@@ -307,6 +307,60 @@ def hourly_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_hourly_counts",
+    _oracle(
+        """
+SELECT CAST(date_trunc('hour', t.ts) AS STRING) AS window_start,
+       CASE WHEN t.event_id % 37 = 0 THEN 'dead_letter'
+            ELSE coalesce(tl.sink, 'dead_letter') END AS sink,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM _tr_num t LEFT JOIN tools tl ON tl.tool = t.tool
+GROUP BY 1, 2
+"""
+    ),
+)
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING end to end, oracle-checked: the same batch
+    operators (parse -> broadcast enrich -> route) over readStream
+    micro-batches, tumbling-hour window counts per sink, drained
+    deterministically with availableNow into a complete-mode memory sink —
+    so the unbounded plan's final answer is comparable row-for-row with the
+    batch SQL oracle. (Production uses append mode + watermark for bounded
+    state; that path and its late-data semantics are pinned by
+    tests/test_streaming.py — this query pins the streaming OPERATORS'
+    values.)"""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.stream import (
+        read_transcript_stream, streaming_parse_route,
+    )
+
+    stage = tempfile.mkdtemp(prefix="q_stream_tr_")
+    try:
+        transcripts_df(spark, sf_dir).write.mode("overwrite").parquet(stage)
+        routed = streaming_parse_route(
+            read_transcript_stream(spark, stage), spark
+        )
+        counts = (
+            routed.groupBy(F.window("ts", "1 hour").alias("win"),
+                           F.col("sink"))
+            .agg(F.count(F.lit(1)).alias("n_turns"))
+        )
+        name = "stream_hourly_" + uuid.uuid4().hex[:8]
+        q = (counts.writeStream.outputMode("complete").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name).select(
+        F.col("win")["start"].cast("string").alias("window_start"),
+        "sink", "n_turns",
+    )
+
+
+@query(
     "turn_order",
     _oracle(
         """
