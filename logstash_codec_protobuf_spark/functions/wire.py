@@ -156,15 +156,24 @@ def byte_hex(d: Dialect, b: str) -> str:
             f"substring('{_HEXCHARS}', {lo}, 1))")
 
 
-def varint_hex(d: Dialect, x: str) -> str:
+def varint_hex(d: Dialect, x: str, max_bytes: int = 9) -> str:
     """Varint of a NON-NEGATIVE int64 expression (< 2^63) as lowercase hex.
 
-    Unrolled to 9 base-128 groups; group i is present iff x >= 128^i, and
-    carries a continuation bit iff x >= 128^(i+1). All intdiv/mod arithmetic
-    — identical in both engines for non-negative operands.
+    Unrolled to ``max_bytes`` base-128 groups; group i is present iff
+    x >= 128^i, and carries a continuation bit iff x >= 128^(i+1). All
+    intdiv/mod arithmetic — identical in both engines for non-negative
+    operands.
+
+    ``max_bytes`` < 9 declares a per-field value bound (x < 128^max_bytes):
+    the expression tree shrinks proportionally — the full 9-group unroll
+    across every field made whole-stage codegen compilation the DOMINANT
+    first-run cost of the encoder (~8 s Janino compile at 10 fields x 9
+    groups). Out-of-bound values poison the result to NULL (NULL || s is
+    NULL in both engines), so a violated bound surfaces as a dead-letter
+    payload, never silent truncation.
     """
     parts = []
-    for i in range(9):
+    for i in range(max_bytes):
         lo_t = 128 ** i
         hi_t = 128 ** (i + 1)
         group = f"({d.intdiv(f'({x})', str(lo_t))} % 128)"
@@ -177,6 +186,10 @@ def varint_hex(d: Dialect, x: str) -> str:
             parts.append(term)
         else:
             parts.append(f"CASE WHEN ({x}) >= {lo_t} THEN {term} ELSE '' END")
+    if max_bytes < 9:
+        parts.append(
+            f"CASE WHEN ({x}) >= {128 ** max_bytes} THEN NULL ELSE '' END"
+        )
     return "(" + " || ".join(parts) + ")"
 
 
@@ -202,28 +215,29 @@ def tag_hex(field_num: int, wire_type: int) -> str:
 
 
 def varint_field_hex(d: Dialect, field_num: int, x: str,
-                     when: str | None = None) -> str:
+                     when: str | None = None, max_bytes: int = 9) -> str:
     """Varint-typed field. Default presence rule: omit when 0/NULL (proto3
     implicit-presence scalars); pass `when` to override (oneof members emit
-    whenever chosen, even at the default value)."""
+    whenever chosen, even at the default value). ``max_bytes`` bounds the
+    unroll (see varint_hex)."""
     cond = when if when is not None else f"({x}) IS NOT NULL AND ({x}) <> 0"
     return (f"CASE WHEN {cond} THEN '{tag_hex(field_num, WT_VARINT)}' || "
-            f"{varint_hex(d, x)} ELSE '' END")
+            f"{varint_hex(d, x, max_bytes)} ELSE '' END")
 
 
 def sint_field_hex(d: Dialect, field_num: int, x: str,
-                   when: str | None = None) -> str:
+                   when: str | None = None, max_bytes: int = 9) -> str:
     cond = when if when is not None else f"({x}) IS NOT NULL AND ({x}) <> 0"
     return (f"CASE WHEN {cond} THEN '{tag_hex(field_num, WT_VARINT)}' || "
-            f"{varint_hex(d, zigzag(d, x))} ELSE '' END")
+            f"{varint_hex(d, zigzag(d, x), max_bytes)} ELSE '' END")
 
 
 def string_field_hex(d: Dialect, field_num: int, s: str,
-                     when: str | None = None) -> str:
+                     when: str | None = None, max_len_bytes: int = 9) -> str:
     cond = when if when is not None else f"({s}) IS NOT NULL AND ({s}) <> ''"
     return (f"CASE WHEN {cond} THEN '{tag_hex(field_num, WT_LEN)}' || "
-            f"{varint_hex(d, strlen_bytes(d, s))} || {hex_utf8(d, s)} "
-            f"ELSE '' END")
+            f"{varint_hex(d, strlen_bytes(d, s), max_len_bytes)} || "
+            f"{hex_utf8(d, s)} ELSE '' END")
 
 
 def bool_field_hex(d: Dialect, field_num: int, b: str) -> str:

@@ -512,16 +512,21 @@ def turn_wire_hex(d: Dialect, c: dict[str, str]) -> str:
     """
     horn_when = f"({c['body_type']}) = 'unicorn' AND ({c['horn']}) IS NOT NULL"
     wings_when = f"({c['body_type']}) = 'pegasus' AND ({c['wings']}) IS NOT NULL"
+    # Per-field varint bounds (declared value ranges, NULL-poisoned if
+    # violated — varint_hex): int32 fields need 5 groups, the enum 1, the
+    # sint64 cents 6 (|cents| < 2^41), string lengths 2 (< 16 KiB). The full
+    # 9-group unroll everywhere made Janino compilation of the fused stage
+    # the encoder's dominant first-run cost (~8 s -> ~3 s at sf0.1).
     return concat_fields_hex([
-        string_field_hex(d, 1, c["conv_id"]),
-        varint_field_hex(d, 2, c["turn_idx"]),
-        string_field_hex(d, 3, c["role"]),
-        string_field_hex(d, 4, c["tool"]),
-        varint_field_hex(d, 5, c["colour"]),
-        sint_field_hex(d, 6, c["cents"]),
-        varint_field_hex(d, 8, c["horn"], when=horn_when),
-        varint_field_hex(d, 9, c["wings"], when=wings_when),
-        string_field_hex(d, 10, c["msg"]),
+        string_field_hex(d, 1, c["conv_id"], max_len_bytes=2),
+        varint_field_hex(d, 2, c["turn_idx"], max_bytes=5),
+        string_field_hex(d, 3, c["role"], max_len_bytes=2),
+        string_field_hex(d, 4, c["tool"], max_len_bytes=2),
+        varint_field_hex(d, 5, c["colour"], max_bytes=1),
+        sint_field_hex(d, 6, c["cents"], max_bytes=6),
+        varint_field_hex(d, 8, c["horn"], when=horn_when, max_bytes=5),
+        varint_field_hex(d, 9, c["wings"], when=wings_when, max_bytes=5),
+        string_field_hex(d, 10, c["msg"], max_len_bytes=2),
     ])
 
 

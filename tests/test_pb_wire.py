@@ -432,3 +432,22 @@ def test_nested_oneof_metainfo():
     assert d["_pb_oneof"] == {"body": "wings"}
     assert d["nested"]["_pb_oneof"] == {"contact": "email"}
     assert d["nested"]["email"] == "e@x" and d["nested"]["phone"] is None
+
+
+def test_varint_bound_violation_poisons_to_null(spark):
+    """A value above a field's declared varint bound must yield a NULL
+    payload (visible dead-letter failure), never silently truncated bytes."""
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame(
+        [("c", 5, "user", "sql", 2, 9, "unicorn", 1, 0, "m"),
+         ("c", 2**40, "user", "sql", 2, 9, "unicorn", 1, 0, "m")],
+        "conv_id string, turn_idx long, role string, tool string, "
+        "colour int, cents long, body_type string, horn int, wings int, "
+        "msg string",
+    )
+    enc = W.encode_turn_wire(df)  # turn_idx bound: 5 groups (< 2^35)
+    rows = enc.select("turn_idx", SF.col("payload_hex").isNull()
+                      .alias("poisoned")).collect()
+    got = {r["turn_idx"]: r["poisoned"] for r in rows}
+    assert got[5] is False and got[2**40] is True
