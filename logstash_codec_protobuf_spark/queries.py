@@ -1487,6 +1487,64 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_clusters(_docs(spark, sf_dir))
 
 
+_SURVIVOR_ORACLE = f"""
+WITH RECURSIVE pairs AS ({DD.minhash_pairs_oracle()}),
+edges AS (
+  SELECT a_id AS s, b_id AS t FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.t, reach.r FROM edges e JOIN reach ON e.s = reach.node
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+scored AS (
+  SELECT c.cluster_id, c.doc_id, {TX.quality_score(DUCK)} AS quality,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY {TX.quality_score(DUCK)} DESC,
+                                     c.doc_id) AS rk,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id AS survivor_id, quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM scored WHERE rk = 1
+"""
+
+
+@query("dedup_survivors", _SURVIVOR_ORACLE)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup deliverable: LSH pairs -> connected-component
+    clusters -> ONE survivor per cluster, chosen by quality score
+    (deterministic tie-break on doc_id) — what a training-data pipeline
+    actually keeps. Cluster partitions are near-dup groups (tiny), so the
+    rank window never sees a hot key."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    clusters = DD.dedup_clusters(docs)
+    scored = clusters.join(
+        docs.select("doc_id",
+                    F.expr(TX.quality_score(SPARK)).alias("quality")),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rk") == 1)
+        .select("cluster_id", F.col("doc_id").alias("survivor_id"),
+                "quality", "n_members")
+    )
+
+
 @query("simhash_weighted", DD.simhash_weighted_oracle())
 def simhash_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term-frequency-weighted SimHash: the majority vote over the
