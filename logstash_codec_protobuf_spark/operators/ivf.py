@@ -218,6 +218,116 @@ def ivf_refine(emb: DataFrame, k: int = N_CENTROIDS,
     return cents
 
 
+def ivf_refine_assign(emb: DataFrame, k: int = N_CENTROIDS,
+                      dim: int = 64) -> DataFrame:
+    """ONE oracle-checkable Lloyd iteration + re-assignment: seed centroids
+    (vec_id < k) -> assign -> exact element-wise means -> assign against the
+    refined centroids. Returns (vec_id, centroid_id, score).
+
+    Exactness across engines: a double ``avg()`` is NOT order-stable (partial
+    sums combine in partition order), so each element is floor-scaled to
+    integer nano-units first — int64 sums are order-independent and exact —
+    and the mean is reconstructed with one double division in a fixed
+    expression order. Decimal division is avoided too (Spark and DuckDB
+    disagree on result scale). Distribution shape per iteration: one
+    broadcast argmin + one (centroid, dim) groupBy — no driver-side
+    vectors, same as ivf_refine."""
+    d = SPARK
+    e = cache.track(_with_norm(emb).select("vec_id", "embedding", "nrm"))
+    c0 = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        c = cents.withColumn("c_nrm", F.expr(f"sqrt({d.dot('cv', 'cv')})"))
+        scored = e.join(F.broadcast(c)).select(
+            "vec_id", "embedding", "centroid_id",
+            (SIM_pair_dot("embedding", "cv")
+             / (F.col("nrm") * F.col("c_nrm"))).alias("_s"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("_s"),
+                                                 F.asc("centroid_id"))
+        return (scored.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1))
+
+    a0 = assign(c0).select("vec_id", "embedding", "centroid_id")
+    dims = a0.select(
+        "centroid_id", F.posexplode(F.col("embedding")).alias("dim", "val")
+    )
+    means = (
+        dims.groupBy("centroid_id", "dim")
+        .agg(
+            F.sum(F.expr(
+                "CAST(FLOOR(CAST(val AS DOUBLE) * 1000000000) AS BIGINT)"
+            )).alias("sq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "centroid_id", "dim",
+            (F.col("sq").cast("double")
+             / (F.col("n").cast("double") * F.lit(1.0e9))).alias("m"),
+        )
+    )
+    cents1 = (
+        means.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
+             .alias("pairs"))
+        .select("centroid_id",
+                F.expr("transform(pairs, p -> p.m)").alias("cv"))
+    )
+    return assign(cents1).select(
+        "vec_id", "centroid_id", F.expr(d.trunc6("_s")).alias("score")
+    )
+
+
+def ivf_refine_assign_oracle(k: int = N_CENTROIDS, dim: int = 64) -> str:
+    d = DUCK
+    cos0 = d.dot("e.embedding", "c.embedding")
+    nrm_e = f"sqrt({d.dot('e.embedding', 'e.embedding')})"
+    nrm_c0 = f"sqrt({d.dot('c.embedding', 'c.embedding')})"
+    cos1 = d.dot("e.embedding", "c.cv")
+    nrm_c1 = f"sqrt({d.dot('c.cv', 'c.cv')})"
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+s0 AS (
+  SELECT e.vec_id, c.vec_id AS centroid_id,
+         ({cos0}) / (({nrm_e}) * ({nrm_c0})) AS s
+  FROM e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {k}) c
+), a0 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, centroid_id) AS rn
+    FROM s0
+  ) WHERE rn = 1
+), dims AS (
+  SELECT a0.centroid_id, g.j AS dim,
+         CAST(FLOOR(CAST(e.embedding[g.j] AS DOUBLE) * 1000000000)
+              AS BIGINT) AS q
+  FROM a0 JOIN e USING (vec_id)
+  CROSS JOIN generate_series(1, {dim}) g(j)
+), means AS (
+  SELECT centroid_id, dim,
+         CAST(SUM(q) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000000.0)
+             AS m
+  FROM dims GROUP BY 1, 2
+), cents AS (
+  SELECT centroid_id, list(m ORDER BY dim) AS cv FROM means GROUP BY 1
+), s1 AS (
+  SELECT e.vec_id, c.centroid_id,
+         ({cos1}) / (({nrm_e}) * ({nrm_c1})) AS s
+  FROM e CROSS JOIN cents c
+)
+SELECT vec_id, centroid_id, {d.trunc6('s')} AS score FROM (
+  SELECT vec_id, centroid_id, s,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY s DESC, centroid_id) AS rn
+  FROM s1
+) WHERE rn = 1
+"""
+
+
 def ivf_inertia(emb: DataFrame, cents: DataFrame) -> float:
     """Mean (1 - best cosine) over the corpus for a centroid set — the
     quantization error Lloyd iterations must not increase."""

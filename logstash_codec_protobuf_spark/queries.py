@@ -1602,6 +1602,17 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IVF.ivf_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+@query("ivf_refine_assign", IVF.ivf_refine_assign_oracle())
+def ivf_refine_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd refinement iteration + re-assignment, fully oracle-checked:
+    element-wise centroid means are computed over integer nano-unit sums
+    (double avg() is partial-sum-order dependent and would never hash-match
+    across engines), then every vector re-assigns against the refined set.
+    Upgrades the previously pytest-only refine step to a green driver
+    entry."""
+    return IVF.ivf_refine_assign(load_table(spark, sf_dir, "embeddings"))
+
+
 @query("multimodal_features", MM.features_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary media payloads (stubbed
