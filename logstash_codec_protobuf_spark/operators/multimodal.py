@@ -112,6 +112,61 @@ def extract_features(media: DataFrame, batch_hint: int | None = None,
     return media.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_len", T.IntegerType()),
+    T.StructField("frame_checksum", T.LongType()),
+])
+
+FRAME_BYTES = 64  # fake "frame" stride over the opaque payload
+
+
+def sample_frames(media: DataFrame, stride: int = FRAME_BYTES,
+                  every: int = 2) -> DataFrame:
+    """Frame sampling over opaque binary payloads (the video path's shape):
+    split each payload into ``stride``-byte frames, keep every ``every``-th
+    one, emit per-frame metadata + checksum. 1:N mapInPandas — Arrow batches
+    in, exploded frame rows out, no shuffle (real video decode would swap
+    into the same loop via PyAV/ffmpeg; the container ships neither, so the
+    frame splitter is the deterministic stand-in with an exact oracle)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                n_frames = (len(buf) + stride - 1) // stride
+                for i in range(0, n_frames, every):
+                    chunk = buf[i * stride:(i + 1) * stride]
+                    acc = 0
+                    for b in chunk[:16]:
+                        acc = (acc * 31 + b) % MOD
+                    rows.append((int(doc_id), i, len(chunk), acc))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
+
+    return media.mapInPandas(_frames, FRAME_SCHEMA)
+
+
+def frames_oracle(stride: int = FRAME_BYTES, every: int = 2,
+                  max_frames: int = 256) -> str:
+    """Exact SQL twin of the frame sampler (ASCII text: chars == bytes).
+    generate_series can't be row-correlated in DuckDB, so the series is a
+    constant 0..max_frames-1 range filtered to frames that exist."""
+    d = DUCK
+    start = f"(g.i * {stride} + 1)"
+    chunk = f"substring(text, {start}, {stride})"
+    checksum = d.poly_hash_str(f"substring({chunk}, 1, 16)")
+    return f"""
+SELECT doc_id, CAST(g.i AS INTEGER) AS frame_idx,
+       CAST(length({chunk}) AS INTEGER) AS frame_len,
+       {checksum} AS frame_checksum
+FROM documents
+CROSS JOIN generate_series(0, {max_frames - 1}) g(i)
+WHERE g.i * {stride} < length(text) AND g.i % {every} = 0
+"""
+
+
 def features_oracle() -> str:
     """Exact SQL twin of the stub extractor (documents text is ASCII, so
     char codes == utf-8 bytes)."""

@@ -1613,6 +1613,15 @@ def ivf_refine_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IVF.ivf_refine_assign(load_table(spark, sf_dir, "embeddings"))
 
 
+@query("multimodal_frames", MM.frames_oracle())
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media payloads: 1:N mapInPandas exploding
+    each payload into strided frames, keeping every 2nd — the video
+    frame-sample shape with a deterministic fake splitter (real decode swaps
+    into the same Arrow loop) and a per-frame checksum oracle."""
+    return MM.sample_frames(MM.with_binary_payload(_docs(spark, sf_dir)))
+
+
 @query("multimodal_features", MM.features_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary media payloads (stubbed
