@@ -167,6 +167,66 @@ WHERE g.i * {stride} < length(text) AND g.i % {every} = 0
 """
 
 
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("out_width", T.IntegerType()),
+    T.StructField("out_height", T.IntegerType()),
+    T.StructField("scale_ppm", T.LongType()),  # scale in parts-per-million
+])
+
+
+def resize_images(media: DataFrame, max_side: int = 128,
+                  real_decode: bool = False) -> DataFrame:
+    """Aspect-preserving resize planning over binary payloads: compute the
+    target (out_width, out_height) that fits ``max_side`` — the metadata
+    half of an image-resize stage, over the stub dimensions (or real PIL
+    dimensions + actual resample when ``real_decode``). The scale factor is
+    reported in integer parts-per-million so the oracle is exact (a double
+    ratio column would be fine too — this keeps it integral)."""
+    if real_decode and not HAS_PIL:
+        raise NotImplementedError("real_decode=True requires PIL")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if real_decode:  # pragma: no cover - needs PIL
+                    img = decode_image(buf)
+                    w, h = img.width, img.height
+                else:
+                    n = len(buf)
+                    c = _prefix_checksum(buf)
+                    w, h = 64 + n % 512, 64 + c % 512
+                scale_ppm = min(max_side * 1_000_000 // max(w, h), 1_000_000)
+                ow = w * scale_ppm // 1_000_000
+                oh = h * scale_ppm // 1_000_000
+                rows.append((int(doc_id), w, h, ow, oh, scale_ppm))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA])
+
+    return media.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+def resize_oracle(max_side: int = 128) -> str:
+    """Exact SQL twin of the stub resize planner (integer arithmetic only)."""
+    d = DUCK
+    checksum = d.poly_hash_str("substring(text, 1, 16)")
+    w = f"(64 + octet_length(encode(text)) % 512)"
+    h = f"(64 + ({checksum}) % 512)"
+    scale = (f"LEAST({max_side} * 1000000 // "
+             f"GREATEST({w}, {h}), 1000000)")
+    return f"""
+SELECT doc_id, CAST({w} AS INTEGER) AS width, CAST({h} AS INTEGER) AS height,
+       CAST({w} * ({scale}) // 1000000 AS INTEGER) AS out_width,
+       CAST({h} * ({scale}) // 1000000 AS INTEGER) AS out_height,
+       CAST({scale} AS BIGINT) AS scale_ppm
+FROM documents
+"""
+
+
 def features_oracle() -> str:
     """Exact SQL twin of the stub extractor (documents text is ASCII, so
     char codes == utf-8 bytes)."""

@@ -1622,6 +1622,15 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sample_frames(MM.with_binary_payload(_docs(spark, sf_dir)))
 
 
+@query("multimodal_resize", MM.resize_oracle())
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning over binary media (the image-resize
+    stage's metadata half): integer parts-per-million scale so the oracle is
+    exact; PIL-gated real decode swaps in behind the same mapInPandas
+    plumbing."""
+    return MM.resize_images(MM.with_binary_payload(_docs(spark, sf_dir)))
+
+
 @query("multimodal_features", MM.features_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary media payloads (stubbed
