@@ -658,6 +658,34 @@ def _make_decode_udf(registry: SchemaRegistry, proto_version: int = 3):
     return _decode
 
 
+def encode_turn_wire_jvm(df: DataFrame) -> DataFrame:
+    """JVM-native encode via ``to_protobuf`` + the compiled descriptor set —
+    the symmetric swap-in to ``decode_turn_wire_jvm`` when the
+    spark-protobuf jar is present. The SQL-expression encoder remains the
+    DEFAULT even on such clusters (it is already zero-Python, fuses into
+    whole-stage codegen, and carries the bit-exact DuckDB oracle); this path
+    exists for schema evolution cases where the descriptor, not the
+    hand-rendered template, must be authoritative."""
+    from pyspark.sql.protobuf.functions import to_protobuf
+
+    from ..descriptors import descriptor_set_bytes
+
+    desc = descriptor_set_bytes(default_registry(), ["turn_wire"])
+    event = F.struct(
+        F.col("conv_id"), F.col("turn_idx"), F.col("role"), F.col("tool"),
+        F.col("colour"), F.col("cents"),
+        F.when(F.col("body_type") == "unicorn", F.col("horn")).alias("horn"),
+        F.when(F.col("body_type") == "pegasus", F.col("wings"))
+        .alias("wings"),
+        F.col("msg"),
+    )
+    out = df.withColumn(
+        "payload", to_protobuf(event, "sparkgraft.turn_wire",
+                               binaryDescriptorSet=desc)
+    )
+    return out.withColumn("payload_hex", F.lower(F.hex(F.col("payload"))))
+
+
 def spark_protobuf_available(spark) -> bool:
     """True when the spark-protobuf jar is on the JVM classpath (cluster
     deployments add ``org.apache.spark:spark-protobuf_2.13``; the sandbox

@@ -120,3 +120,24 @@ def test_jvm_dispatch_falls_back_without_jar(spark):
 
         with _pytest.raises(Exception):
             W.decode_turn_wire_jvm(enc).first()
+
+
+def test_to_protobuf_swap_in_gating(spark):
+    """Without the jar, the JVM encode path must fail loudly; the SQL
+    encoder (the default either way) keeps working. With the jar, the same
+    call round-trips through to_protobuf."""
+    import pytest
+
+    from logstash_codec_protobuf_spark.queries import _good_flat
+
+    from .conftest import SF_DIR
+
+    flat = _good_flat(spark, SF_DIR).drop("ts", "text").limit(5)
+    assert W.encode_turn_wire(flat).first()["payload_hex"]  # default path
+    if not W.spark_protobuf_available(spark):
+        with pytest.raises(Exception):
+            W.encode_turn_wire_jvm(flat).first()
+    else:  # pragma: no cover - jar-equipped clusters only
+        row = W.decode_turn_wire(
+            W.encode_turn_wire_jvm(flat), impl="jvm").first()
+        assert row["decoded"]["conv_id"] == row["conv_id"]
