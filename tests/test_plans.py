@@ -166,3 +166,42 @@ def test_tpch_q7_broadcasts_nation_pair(spark):
     plan = _executed(tpch_q7_volume(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 3, plan[:800]
     assert re.search(r"GreaterThanOrEqual\(l_shipdate", plan)
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """The 100 TB co-location lever: both join sides written bucketBy the
+    join key -> the sort-merge join reads pre-bucketed files and plans NO
+    exchange. This is the layout fan-in tables use at warehouse scale
+    (SURVEY 4: partition/bucket pruning built-ins)."""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    import shutil
+    shutil.rmtree("spark-warehouse/b_orders", ignore_errors=True)
+    shutil.rmtree("spark-warehouse/b_lineitem", ignore_errors=True)
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    ln = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .saveAsTable("b_orders"))
+    (ln.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .saveAsTable("b_lineitem"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).groupBy("o_orderstatus").count()
+        plan = _executed(joined)
+        # the JOIN itself must not shuffle either side; the only exchange
+        # allowed is the final aggregation's
+        assert "SortMergeJoin" in plan, plan[:1200]
+        assert "SelectedBucketsCount" in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, plan[:1200]
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, plan[:1200]
+        # and the result is still right
+        n = joined.agg(F.sum("count")).first()[0]
+        assert n == ln.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
