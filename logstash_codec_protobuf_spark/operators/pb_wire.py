@@ -261,9 +261,16 @@ def py_decode(buf: bytes, registry: SchemaRegistry, message: str,
     return out
 
 
-def _decode_struct(data: bytes) -> dict:
+_STRUCT_MAX_DEPTH = 64  # bound Value recursion: a hostile deeply-nested
+# payload must dead-letter (WIRE_ERROR), not blow the Python stack with a
+# RecursionError that would escape the UDF's error handling
+
+
+def _decode_struct(data: bytes, depth: int = _STRUCT_MAX_DEPTH) -> dict:
     """google.protobuf.Struct -> Python dict. Struct is
     ``map<string, Value> fields = 1``; each entry is a message {1:k, 2:Value}."""
+    if depth <= 0:
+        raise ValueError(WIRE_ERROR)
     out: dict = {}
     pos = 0
     while pos < len(data):
@@ -289,14 +296,16 @@ def _decode_struct(data: bytes) -> dict:
             if efnum == 1:
                 key = chunk.decode("utf-8")
             elif efnum == 2:
-                val = _decode_value(chunk)
+                val = _decode_value(chunk, depth - 1)
         out[key] = val
     return out
 
 
-def _decode_value(buf: bytes):
+def _decode_value(buf: bytes, depth: int = _STRUCT_MAX_DEPTH):
     """One google.protobuf.Value: a oneof over null/number/string/bool/
     struct/list — last member on the wire wins (the general oneof rule)."""
+    if depth <= 0:
+        raise ValueError(WIRE_ERROR)
     pos = 0
     val = None
     while pos < len(buf):
@@ -324,9 +333,9 @@ def _decode_value(buf: bytes):
             if fnum == 3:
                 val = chunk.decode("utf-8")        # string_value
             elif fnum == 5:
-                val = _decode_struct(chunk)        # struct_value
+                val = _decode_struct(chunk, depth - 1)      # struct_value
             elif fnum == 6:
-                val = _decode_list_value(chunk)    # list_value
+                val = _decode_list_value(chunk, depth - 1)  # list_value
             else:
                 raise ValueError(WIRE_ERROR)
         else:
@@ -334,8 +343,10 @@ def _decode_value(buf: bytes):
     return val
 
 
-def _decode_list_value(data: bytes) -> list:
+def _decode_list_value(data: bytes, depth: int = _STRUCT_MAX_DEPTH) -> list:
     """ListValue { repeated Value values = 1 }."""
+    if depth <= 0:
+        raise ValueError(WIRE_ERROR)
     out = []
     pos = 0
     while pos < len(data):
@@ -343,7 +354,7 @@ def _decode_list_value(data: bytes) -> list:
         if tag >> 3 != 1 or tag & 7 != 2:
             raise ValueError(WIRE_ERROR)
         ln, pos = read_varint(data, pos)
-        out.append(_decode_value(data[pos:pos + ln]))
+        out.append(_decode_value(data[pos:pos + ln], depth - 1))
         pos += ln
     return out
 

@@ -451,3 +451,22 @@ def test_varint_bound_violation_poisons_to_null(spark):
                       .alias("poisoned")).collect()
     got = {r["turn_idx"]: r["poisoned"] for r in rows}
     assert got[5] is False and got[2**40] is True
+
+
+def test_struct_depth_bomb_dead_letters():
+    """A hostile deeply-nested Struct must raise the wire error (dead-letter
+    path), never a RecursionError that escapes the UDF's except clause."""
+    from logstash_codec_protobuf_spark.functions.wire import (
+        py_field_len, py_field_string,
+    )
+
+    reg = default_registry()
+    # Value nested 200 levels deep: v = {"k": {"k": {...}}}
+    inner = py_field_string(3, "leaf")              # string_value
+    for _ in range(200):
+        entry = py_field_string(1, "k") + py_field_len(2, inner)
+        inner = py_field_len(5, py_field_len(1, entry))  # struct_value
+    struct_bytes = py_field_len(1, py_field_string(1, "k") + py_field_len(2, inner))
+    raw = py_field_string(1, "u") + py_field_len(2, struct_bytes)
+    with pytest.raises(ValueError, match="wire format"):
+        W.py_decode(raw, reg, "send_json_request")
