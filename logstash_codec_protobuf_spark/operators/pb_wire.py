@@ -291,6 +291,8 @@ def _decode_struct(data: bytes, depth: int = _STRUCT_MAX_DEPTH) -> dict:
             if ewt != 2:
                 raise ValueError(WIRE_ERROR)
             eln, epos = read_varint(entry, epos)
+            if epos + eln > len(entry):
+                raise ValueError(WIRE_ERROR)
             chunk = entry[epos:epos + eln]
             epos += eln
             if efnum == 1:
@@ -354,6 +356,8 @@ def _decode_list_value(data: bytes, depth: int = _STRUCT_MAX_DEPTH) -> list:
         if tag >> 3 != 1 or tag & 7 != 2:
             raise ValueError(WIRE_ERROR)
         ln, pos = read_varint(data, pos)
+        if pos + ln > len(data):
+            raise ValueError(WIRE_ERROR)
         out.append(_decode_value(data[pos:pos + ln], depth - 1))
         pos += ln
     return out
@@ -376,6 +380,8 @@ def _decode_map_entry(data: bytes, ktype: str, vtype: str,
                 val = _typed_varint(raw, vtype, registry, proto_version)
         elif wt == 2:
             ln, pos = read_varint(data, pos)
+            if pos + ln > len(data):
+                raise ValueError(WIRE_ERROR)
             chunk = data[pos:pos + ln]
             pos += ln
             if fnum == 1 and ktype == "string":

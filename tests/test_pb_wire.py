@@ -470,3 +470,25 @@ def test_struct_depth_bomb_dead_letters():
     raw = py_field_string(1, "u") + py_field_len(2, struct_bytes)
     with pytest.raises(ValueError, match="wire format"):
         W.py_decode(raw, reg, "send_json_request")
+
+
+def test_truncated_nested_length_prefixes_dead_letter():
+    """Length prefixes that overrun their enclosing buffer must raise the
+    wire error at EVERY nesting level (map entries, Struct entries,
+    ListValue elements) — silent slice truncation would mis-decode."""
+    from logstash_codec_protobuf_spark.functions.wire import (
+        py_field_len, py_field_string, py_tag, py_varint,
+    )
+
+    reg = default_registry()
+    # map entry whose value-length overruns the entry
+    bad_entry = py_field_string(1, "home") + py_tag(2, 2) + py_varint(99)
+    raw = py_field_string(1, "ada") + py_field_len(2, bad_entry)
+    with pytest.raises(ValueError, match="wire format"):
+        W.py_decode(raw, reg, "contact")
+    # Struct entry whose Value-length overruns
+    bad_sentry = py_field_string(1, "k") + py_tag(2, 2) + py_varint(99)
+    raw2 = (py_field_string(1, "u")
+            + py_field_len(2, py_field_len(1, bad_sentry)))
+    with pytest.raises(ValueError, match="wire format"):
+        W.py_decode(raw2, reg, "send_json_request")
