@@ -492,3 +492,30 @@ def test_truncated_nested_length_prefixes_dead_letter():
             + py_field_len(2, py_field_len(1, bad_sentry)))
     with pytest.raises(ValueError, match="wire format"):
         W.py_decode(raw2, reg, "send_json_request")
+
+
+def test_varint_bounds_edges_sql_encoder(spark):
+    """At each declared bound: the largest in-range value must encode
+    byte-identically to the Python encoder; the first out-of-range value
+    must poison to NULL. Exercises cents (zigzag, 6 groups) and string
+    length (2 groups) edges beyond the turn_idx case."""
+    big_msg = "x" * (128 ** 2 - 1)     # len 16383: last in-range
+    over_msg = "x" * (128 ** 2)        # len 16384: poisoned
+    max_cents = (128 ** 6) // 2 - 1    # zigzag(2x) still < 128^6
+    rows = [
+        ("c", 1, "user", "sql", 2, max_cents, "unicorn", 1, 0, big_msg),
+        ("c", 1, "user", "sql", 2, -max_cents, "unicorn", 1, 0, "m"),
+        ("c", 1, "user", "sql", 2, max_cents + 1, "unicorn", 1, 0, "m"),
+        ("c", 1, "user", "sql", 2, 9, "unicorn", 1, 0, over_msg),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx long, role string, tool string, "
+        "colour int, cents long, body_type string, horn int, wings int, "
+        "msg string",
+    )
+    got = W.encode_turn_wire(df, binary=False).collect()
+    for r in got[:2]:  # in-range rows: byte-exact vs the Python encoder
+        assert r["payload_hex"] == W.py_encode_turn(r.asDict()).hex()
+    assert got[2]["payload_hex"] is None   # cents over bound
+    assert got[3]["payload_hex"] is None   # msg length over bound
