@@ -53,7 +53,12 @@ def shared(key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
         return hit
     out = build().persist()
     with _LOCK:
-        return _SHARED.setdefault(key, out)
+        won = _SHARED.setdefault(key, out)
+    if won is not out:
+        # Lost a build race: another caller persisted the same key first.
+        # Drop our copy or it leaks a cached frame for the session.
+        out.unpersist(False)
+    return won
 
 
 def release_tracked() -> None:

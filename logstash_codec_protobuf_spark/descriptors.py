@@ -102,7 +102,25 @@ def descriptor_set_bytes(registry: SchemaRegistry,
                          syntax: str = "proto3") -> bytes:
     """Serialize (a subset of) the registry as a binary FileDescriptorSet —
     the ``binaryDescriptorSet`` argument of ``from_protobuf``."""
-    names = messages if messages is not None else sorted(registry.messages)
+    names = list(messages) if messages is not None else sorted(registry.messages)
+    # Transitively close over message-typed fields: a type_name reference to
+    # a message absent from the set is unresolvable on the JVM from_protobuf
+    # path, so every message: dependency (and its enums) must be emitted too.
+    seen = set(names)
+    frontier = list(names)
+    while frontier:
+        spec = registry.messages[frontier.pop()]
+        for f in spec.fields:
+            if f.type.startswith("message:"):
+                dep = f.type[8:]
+                if dep not in seen:
+                    if dep not in registry.messages:
+                        raise ValueError(
+                            f"descriptor set: unknown message dependency {dep}"
+                        )
+                    seen.add(dep)
+                    names.append(dep)
+                    frontier.append(dep)
     file_proto = py_field_string(1, f"{package}.proto")
     file_proto += py_field_string(2, package)
     enums_needed: list[str] = []

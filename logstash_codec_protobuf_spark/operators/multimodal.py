@@ -123,7 +123,7 @@ FRAME_BYTES = 64  # fake "frame" stride over the opaque payload
 
 
 def sample_frames(media: DataFrame, stride: int = FRAME_BYTES,
-                  every: int = 2) -> DataFrame:
+                  every: int = 2, max_frames: int = 256) -> DataFrame:
     """Frame sampling over opaque binary payloads (the video path's shape):
     split each payload into ``stride``-byte frames, keep every ``every``-th
     one, emit per-frame metadata + checksum. 1:N mapInPandas — Arrow batches
@@ -137,6 +137,15 @@ def sample_frames(media: DataFrame, stride: int = FRAME_BYTES,
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 buf = bytes(payload)
                 n_frames = (len(buf) + stride - 1) // stride
+                if n_frames > max_frames:
+                    # The SQL oracle enumerates a constant 0..max_frames-1
+                    # range; a payload past the bound would emit Spark rows
+                    # the oracle can't — fail the job instead of silently
+                    # diverging. Callers size max_frames to the corpus.
+                    raise ValueError(
+                        f"payload for doc {doc_id} has {n_frames} frames "
+                        f"> max_frames={max_frames}; raise max_frames"
+                    )
                 for i in range(0, n_frames, every):
                     chunk = buf[i * stride:(i + 1) * stride]
                     acc = 0

@@ -319,12 +319,14 @@ def _decode_value(buf: bytes, depth: int = _STRUCT_MAX_DEPTH):
                 val = None          # NullValue
             elif fnum == 4:
                 val = raw != 0      # bool_value
-            else:
-                raise ValueError(WIRE_ERROR)
+            # else: unknown varint field from a newer Value — skip (already
+            # consumed).  Unknown fields are skipped by wire type for forward
+            # compatibility, same rule as the message-level parser.
         elif wt == 1:
-            if pos + 8 > len(buf) or fnum != 2:
+            if pos + 8 > len(buf):
                 raise ValueError(WIRE_ERROR)
-            val = struct.unpack("<d", buf[pos:pos + 8])[0]  # number_value
+            if fnum == 2:
+                val = struct.unpack("<d", buf[pos:pos + 8])[0]  # number_value
             pos += 8
         elif wt == 2:
             ln, pos = read_varint(buf, pos)
@@ -338,8 +340,11 @@ def _decode_value(buf: bytes, depth: int = _STRUCT_MAX_DEPTH):
                 val = _decode_struct(chunk, depth - 1)      # struct_value
             elif fnum == 6:
                 val = _decode_list_value(chunk, depth - 1)  # list_value
-            else:
+            # else: unknown length-delimited field — skipped above
+        elif wt == 5:
+            if pos + 4 > len(buf):
                 raise ValueError(WIRE_ERROR)
+            pos += 4                # unknown fixed32 — skip
         else:
             raise ValueError(WIRE_ERROR)
     return val

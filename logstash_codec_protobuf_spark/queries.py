@@ -2104,9 +2104,65 @@ def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum(vol).alias("revenue_c"))
 
 
+# ---------------------------------------------------------------------------
+# Driver registration order.
+#
+# The driver's CORRECTNESS report covers exactly the FIRST 50 names returned
+# by ``queries()`` — registration order decides what gets oracle-verified.
+# Round 3 shipped 15 queries past that window (7 never driver-checked in any
+# round; tpch_q5_local_supply's r2 hash-FAIL fix unverified).  So ordering is
+# explicit now, not an accident of definition order:
+#
+# - ``_FRONT``: queries that MUST land in the window — never-driver-verified
+#   ones first (tpch_q5_local_supply leads: it is the only query whose last
+#   driver observation was a FAIL), then round-4 additions, then queries green
+#   in only one prior round.
+# - ``_TAIL``: queries green in BOTH r2 and r3 driver reports — that
+#   double-green history is the evidence that earns the rotation out of the
+#   window.  ``tests/test_registration_order.py`` pins the invariants.
+# ---------------------------------------------------------------------------
+
+_FRONT: list[str] = [
+    # r2 hash-FAIL whose fix has never been driver-verified
+    "tpch_q5_local_supply",
+    # never in any driver CORRECTNESS report
+    "ivf_refine_assign", "multimodal_frames", "multimodal_resize",
+    "role_cents_quantiles", "role_tool_setops", "tpch_q3_shipping",
+    "tpch_q7_volume",
+    # registered past the window in r3 (green in r2 only, or never)
+    "multimodal_features", "session_stats", "role_sink_matrix",
+    "conv_tool_diversity", "nested_json_decode", "tpch_q1_pricing",
+    "tpch_join_topn",
+    # green in r3 only — second driver observation wanted
+    "dedup_clusters", "dedup_survivors", "pb2_wire_lineage",
+    "pb_wire_directory", "pb_wire_float_double", "pb_wire_nested_repeated",
+    "pb_wire_repeated_message", "pb_wire_rum", "pb_wire_struct",
+    "pb_wire_uint64_bytes", "simhash_weighted", "stream_hourly_counts",
+]
+
+_TAIL: list[str] = [
+    # double-green (r2 AND r3) — rotated past the 50-entry window
+    "parse_good", "dead_letter", "enum_symbolize", "pb2_enum_passthrough",
+    "oneof_xor", "enrich_turns", "route_counts", "conv_stats", "hourly_stats",
+    "turn_order", "conv_first_last", "encode_roundtrip", "encode_autoconvert",
+    "pb_wire_encode", "pb_wire_decode", "pb_wire_roundtrip",
+    "pb_schema_file_decode", "pb2_wire_roundtrip", "pb_wire_dead_letter",
+    "pb_wire_map_entries",
+]
+
+
+def _registration_order() -> list[str]:
+    front = [n for n in _FRONT if n in _QUERIES]
+    tail = [n for n in _TAIL if n in _QUERIES]
+    placed = set(front) | set(tail)
+    middle = [n for n in _QUERIES if n not in placed]
+    return front + middle + tail
+
+
 def all_queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _registration_order()}
 
 
 def all_oracles() -> dict[str, str]:
-    return dict(_ORACLES)
+    order = _registration_order()
+    return {n: _ORACLES[n] for n in order if n in _ORACLES}
