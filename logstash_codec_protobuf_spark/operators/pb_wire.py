@@ -466,10 +466,18 @@ def py_encode(value: dict, registry: SchemaRegistry, message: str,
                 continue
             kind = _scalar_kind(f.type)
             if kind == "varint":
-                out += py_field_len(num, b"".join(
-                    py_varint(_enc_varint_val(x, f.type, registry))
-                    for x in v
-                ))
+                if proto_version == 2:
+                    # proto2 repeated numerics default to UNPACKED: one
+                    # tag+varint per element (ColourTestcase's repeated
+                    # enum/bool dialect, spec/codecs/pb2_spec.rb:82-104)
+                    for x in v:
+                        out += py_field_varint(
+                            num, _enc_varint_val(x, f.type, registry))
+                else:
+                    out += py_field_len(num, b"".join(
+                        py_varint(_enc_varint_val(x, f.type, registry))
+                        for x in v
+                    ))
             elif f.type.startswith("message:"):
                 for x in v:
                     out += py_field_len(num, py_encode(
@@ -1439,6 +1447,66 @@ def human_lineage_roundtrip(df: DataFrame,
     )
     return enc.withColumn("decoded",
                           _make_human_decode_udf(reg)(F.col("payload")))
+
+
+# ---------------------------------------------------------------------------
+# ColourProtoTest: pb2 repeated-enum / repeated-bool dialect
+# (spec/helpers/pb2/ColourTestcase.pb.rb; spec/codecs/pb2_spec.rb:82-104)
+# ---------------------------------------------------------------------------
+
+COLOUR_DECODED = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    # arrays rendered as CSV strings: the driver canonicalizer can't sort
+    # list-typed cells, and the CSV pins element ORDER too
+    T.StructField("colours_csv", T.StringType()),
+    T.StructField("bools_csv", T.StringType()),
+    T.StructField("least_liked", T.LongType()),
+    T.StructField("version", T.StringType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def colour_roundtrip(df: DataFrame, registry: SchemaRegistry | None = None
+                     ) -> DataFrame:
+    """Encode (c1, c2, b1, b2, b3, least_liked, version) as a ColourProtoTest
+    message under the pb2 dialect (UNPACKED repeated varints — proto2's
+    default packing) and decode the real wire bytes back with
+    ``proto_version=2``: enum codes must stay ints INSIDE the arrays, never
+    symbolized (spec/codecs/pb2_spec.rb:96-99), and repeated bools round-trip
+    zeros (false) without proto3's default-dropping."""
+    reg = registry if registry is not None else default_registry()
+
+    def _roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                value = {
+                    "favourite_colours": [int(r.c1), int(r.c2)],
+                    "booleantest": [bool(r.b1), bool(r.b2), bool(r.b3)],
+                    "least_liked": int(r.least_liked),
+                    "version": r.version,
+                }
+                buf = py_encode(value, reg, "colour_testcase",
+                                proto_version=2)
+                try:
+                    d = py_decode(buf, reg, "colour_testcase",
+                                  proto_version=2)
+                    rows.append((
+                        int(r.event_id), len(buf),
+                        ",".join(str(int(c)) for c in d["favourite_colours"]),
+                        ",".join("1" if b else "0" for b in d["booleantest"]),
+                        int(d["least_liked"]), d["version"], None,
+                    ))
+                except ValueError:
+                    rows.append((int(r.event_id), len(buf),
+                                 None, None, None, None, WIRE_ERROR))
+            out = pd.DataFrame(rows,
+                               columns=[f.name for f in COLOUR_DECODED])
+            out["n_bytes"] = out["n_bytes"].astype("Int32")
+            yield out
+
+    return df.mapInPandas(_roundtrip, COLOUR_DECODED)
 
 
 # ---------------------------------------------------------------------------

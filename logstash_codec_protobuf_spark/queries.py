@@ -695,6 +695,44 @@ def pb_wire_uint64_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pb2_wire_repeated_enum",
+    """
+SELECT event_id,
+       CAST(10 + CASE WHEN (event_id + 5) % 7 = 0 THEN 0 ELSE 2 END + 5
+            AS INTEGER) AS n_bytes,
+       CAST(event_id % 7 AS VARCHAR) || ',' ||
+       CAST((event_id + 3) % 7 AS VARCHAR) AS colours_csv,
+       CAST(CAST(event_id % 2 = 0 AS INT) AS VARCHAR) || ',' ||
+       CAST(CAST(event_id % 3 = 0 AS INT) AS VARCHAR) || ',1' AS bools_csv,
+       CAST((event_id + 5) % 7 AS BIGINT) AS least_liked,
+       '1.' || CAST(event_id % 4 AS VARCHAR) AS version
+FROM events
+""",
+)
+def pb2_wire_repeated_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pb2 repeated-enum/bool wire dialect (ColourProtoTest,
+    spec/helpers/pb2/ColourTestcase.pb.rb + spec/codecs/pb2_spec.rb:82-104):
+    repeated enums encode UNPACKED (proto2 default packing) and decode to
+    int codes INSIDE the arrays — never symbolized — and repeated bools
+    round-trip false without proto3 default-dropping. n_bytes pins the
+    unpacked wire size: 2 bytes/enum elem * 2 + 2 bytes/bool * 3 + 2 for
+    least_liked (0 when its code is 0: scalar default omitted) + 5 for the
+    3-char version string."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 7).cast("int").alias("c1"),
+        ((F.col("event_id") + 3) % 7).cast("int").alias("c2"),
+        (F.col("event_id") % 2 == 0).alias("b1"),
+        (F.col("event_id") % 3 == 0).alias("b2"),
+        F.lit(True).alias("b3"),
+        ((F.col("event_id") + 5) % 7).cast("int").alias("least_liked"),
+        F.concat(F.lit("1."), (F.col("event_id") % 4).cast("string"))
+        .alias("version"),
+    )
+    return PW.colour_roundtrip(ev).drop("error")
+
+
 # --------------------------------------------------------------------------
 # oneof breadth: 3-option group + arrays-of-oneofs with per-element metainfo
 # (spec/codecs/pb3_decode_spec.rb:496-546, 586-639)
@@ -896,6 +934,64 @@ def pb_wire_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "c_pos", "name",
         F.col("ph")["label"].alias("label"),
         F.col("ph")["number"].alias("number"),
+    )
+
+
+@query(
+    "pb_schema_multifile_decode",
+    """
+SELECT event_id, 'dir' || CAST(event_id % 10 AS VARCHAR) AS scope,
+       pos.c_pos, pos.name FROM (
+  SELECT event_id, CAST(0 AS INTEGER) AS c_pos,
+         'ca' || CAST(event_id AS STRING) AS name FROM events
+  UNION ALL
+  SELECT event_id, CAST(1 AS INTEGER), 'cb' || CAST(event_id AS STRING)
+  FROM events
+) pos
+""",
+)
+def pb_schema_multifile_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-file schema load in dependency order (protobuf.rb:113-115;
+    spec/codecs/pb3_decode_spec.rb:270-307): `directory` lives in one schema
+    file, its nested `contact` type in another loaded EARLIER via
+    include_path ordering. The wrong order must raise (each class loaded
+    before it is referred to); the right order decodes real wire bytes.
+    Both arms run on every driver invocation."""
+    import os
+
+    from .schema import SchemaRegistryError, register_codec
+
+    schemas = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "schemas")
+    contact = os.path.join(schemas, "contact.json")
+    directory = os.path.join(schemas, "directory.json")
+    try:
+        register_codec("directory", include_path=[directory, contact])
+        raise AssertionError(
+            "reverse-dependency include_path order must raise")
+    except SchemaRegistryError:
+        pass
+    reg = register_codec("directory", include_path=[contact, directory])
+    e = F.col("event_id")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("dir"), (e % 10).cast("string")).alias("scope"),
+        F.array(F.concat(F.lit("ca"), e.cast("string")),
+                F.concat(F.lit("cb"), e.cast("string"))).alias("c_names"),
+        F.array(F.array(F.lit("home"), F.lit("work")),
+                F.array(F.lit("home"), F.lit("work"))).alias("c_labels"),
+        F.array(
+            F.array((e % 1000).cast("int"), (e % 97).cast("int")),
+            F.array(((e + 7) % 1000).cast("int"), ((e * 3) % 97).cast("int")),
+        ).alias("c_numbers"),
+    )
+    out = PW.directory_roundtrip(ev, registry=reg)
+    d = F.col("decoded")
+    return out.select(
+        "event_id", F.col("scope"),
+        F.posexplode(d["contacts"]).alias("c_pos", "c"),
+    ).select(
+        "event_id", "scope", "c_pos", F.col("c")["name"].alias("name"),
     )
 
 

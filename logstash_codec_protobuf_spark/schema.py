@@ -254,6 +254,31 @@ def default_registry() -> SchemaRegistry:
     )
     # PingIPv4Result.Status (spec/helpers/pb3/ProbeResult_pb.rb:18-21)
     reg.register_enum(EnumSpec("Status", {0: "SUCCESS", 1: "FAILURE", 2: "TIMEOUT"}))
+    # ColourProtoTest.Colour (spec/helpers/pb2/ColourTestcase.pb.rb:12-25) —
+    # distinct from the unicorn Colour enum above (different codes/names).
+    reg.register_enum(
+        EnumSpec(
+            "ProtoColour",
+            {0: "BLACK", 1: "BLUE", 2: "WHITE", 3: "GREEN", 4: "RED",
+             5: "YELLOW", 6: "AQUA"},
+        )
+    )
+    # ColourProtoTest (spec/helpers/pb2/ColourTestcase.pb.rb:27-33): the pb2
+    # repeated-enum + repeated-bool dialect fixture — codes stay ints INSIDE
+    # arrays under proto_version=2 (spec/codecs/pb2_spec.rb:82-104).
+    reg.register_message(
+        MessageSpec(
+            "colour_testcase",
+            (
+                FieldSpec("favourite_colours", "enum:ProtoColour",
+                          repeated=True, number=1),
+                FieldSpec("booleantest", "bool", repeated=True, number=2),
+                FieldSpec("least_liked", "enum:ProtoColour", number=3),
+                FieldSpec("timestamp", "string", number=4),
+                FieldSpec("version", "string", number=5),
+            ),
+        )
+    )
     # The flagship wire message carried in transcript `text` (the reimagined
     # codec input): scalars + enum + a 2-option oneof (FantasyHorse pattern,
     # spec/helpers/pb3/FantasyHorse_pb.rb:8-11).
@@ -510,8 +535,8 @@ def default_registry() -> SchemaRegistry:
 # file-based schema ingestion (load_protobuf_definition, protobuf.rb:781-802)
 # ---------------------------------------------------------------------------
 
-def load_schema_file(path: str, registry: SchemaRegistry | None = None
-                     ) -> SchemaRegistry:
+def load_schema_file(path: str, registry: SchemaRegistry | None = None,
+                     _import_depth: int = 8) -> SchemaRegistry:
     """Load message/enum specs from a JSON schema file into a registry.
 
     The Spark-first twin of ``load_protobuf_definition`` +
@@ -525,10 +550,18 @@ def load_schema_file(path: str, registry: SchemaRegistry | None = None
              {"name": "horn", "type": "int32", "oneof": "body", "number": 8},
              ...]}}}
 
+    A file may declare ``"imports": ["other.json", ...]`` — the twin of the
+    ``require`` line a compiled ``_pb.rb`` carries for its dependencies
+    (spec/codecs/pb3_decode_spec.rb:270-307: ``messageA_pb.rb`` auto-loads
+    the Header definition). Imports are resolved relative to the importing
+    file's directory and loaded FIRST, recursively (idempotent re-loads are
+    no-ops, cycles are depth-bounded).
+
     Error behavior mirrors the reference: a non-spec extension is rejected
     ('Not a ruby file', protobuf.rb:799), an unreadable/definition-free file
     raises 'Invalid protobuf file' (Error 4, protobuf.rb:712-714)."""
     import json
+    import os.path
 
     reg = registry if registry is not None else SchemaRegistry()
     if not path.endswith(".json"):
@@ -538,6 +571,12 @@ def load_schema_file(path: str, registry: SchemaRegistry | None = None
             spec = json.load(f)
     except (OSError, json.JSONDecodeError) as e:
         raise SchemaRegistryError(f"Invalid protobuf file: {path} ({e})") from e
+    if _import_depth <= 0:
+        raise SchemaRegistryError(f"import chain too deep at {path}")
+    for dep in spec.get("imports") or []:
+        dep_path = dep if os.path.isabs(dep) else os.path.join(
+            os.path.dirname(os.path.abspath(path)), dep)
+        load_schema_file(dep_path, reg, _import_depth=_import_depth - 1)
     messages = spec.get("messages") or {}
     if not messages:
         raise SchemaRegistryError(
@@ -590,6 +629,30 @@ def register_codec(class_name: str, class_file: str | None = None,
 
     reg = registry if registry is not None else SchemaRegistry()
     for p in ([class_file] if class_file else list(include_path)):
+        before = set(reg.messages)
         load_schema_file(_resolve(p), reg)
+        # The reference contract for multi-file include_path
+        # (protobuf.rb:113-115): files must be arranged in reverse order of
+        # dependency — each class loaded BEFORE another refers to it. Enforce
+        # per file: every type this file's new messages reference must
+        # already be in the registry (types the same file defines count —
+        # within-file forward declarations are fine, as in a compiled .rb).
+        for name in reg.messages:
+            if name in before:
+                continue
+            for f in reg.messages[name].fields:
+                if f.type.startswith("enum:") and f.type[5:] not in reg.enums:
+                    raise SchemaRegistryError(
+                        f"unknown enum {f.type[5:]} referenced by {name} in "
+                        f"{p}: arrange include_path files in reverse order "
+                        f"of dependency"
+                    )
+                if (f.type.startswith("message:")
+                        and f.type[8:] not in reg.messages):
+                    raise SchemaRegistryError(
+                        f"unknown message {f.type[8:]} referenced by {name} "
+                        f"in {p}: arrange include_path files in reverse "
+                        f"order of dependency"
+                    )
     reg.validate(class_name)
     return reg

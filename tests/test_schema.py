@@ -161,3 +161,78 @@ def test_register_codec_root_directory(tmp_path):
                           class_file=str(tmp_path / "turn_wire.json"),
                           protobuf_root_directory="/nonexistent")
     assert "turn_wire" in reg2.messages
+
+
+# ---------------------------------------------------------------------------
+# multi-file dependency ordering (protobuf.rb:113-115;
+# spec/codecs/pb3_decode_spec.rb:270-307)
+# ---------------------------------------------------------------------------
+
+import os
+
+_SCHEMAS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                        "logstash_codec_protobuf_spark", "schemas")
+
+
+def _schema(name: str) -> str:
+    return os.path.abspath(os.path.join(_SCHEMAS, name))
+
+
+def test_include_path_dependency_order_enforced():
+    """include_path files must be arranged in reverse order of dependency —
+    each class loaded before another refers to it (protobuf.rb:113-115)."""
+    from logstash_codec_protobuf_spark.schema import register_codec
+
+    with pytest.raises(SchemaRegistryError, match="reverse order"):
+        register_codec("directory",
+                       include_path=[_schema("directory.json"),
+                                     _schema("contact.json")])
+    reg = register_codec("directory",
+                         include_path=[_schema("contact.json"),
+                                       _schema("directory.json")])
+    assert "directory" in reg.messages and "contact" in reg.messages
+
+
+def test_class_file_auto_loads_imports():
+    """A schema file's `imports` list is the twin of a compiled _pb.rb's
+    require line: class_file=message_a.json auto-loads header.json
+    (pb3_decode_spec.rb:270-307, MessageA -> Header)."""
+    from logstash_codec_protobuf_spark.schema import register_codec
+
+    reg = register_codec("message_a", class_file=_schema("message_a.json"))
+    assert "header" in reg.messages
+    assert reg.messages["message_a"].fields[1].type == "message:header"
+
+
+def test_import_cycle_is_depth_bounded(tmp_path):
+    import json as _json
+
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text(_json.dumps({"imports": ["b.json"],
+                              "messages": {"a": {"fields": [
+                                  {"name": "x", "type": "string"}]}}}))
+    b.write_text(_json.dumps({"imports": ["a.json"],
+                              "messages": {"b": {"fields": [
+                                  {"name": "y", "type": "string"}]}}}))
+    from logstash_codec_protobuf_spark.schema import load_schema_file
+
+    with pytest.raises(SchemaRegistryError, match="too deep"):
+        load_schema_file(str(a))
+
+
+def test_within_file_forward_declaration_ok(tmp_path):
+    """A single file defining parent-before-child still loads (forward
+    declarations inside one compiled file are legal)."""
+    import json as _json
+
+    f = tmp_path / "fwd.json"
+    f.write_text(_json.dumps({"messages": {
+        "parent": {"fields": [
+            {"name": "kid", "type": "message:child"}]},
+        "child": {"fields": [{"name": "x", "type": "string"}]},
+    }}))
+    from logstash_codec_protobuf_spark.schema import register_codec
+
+    reg = register_codec("parent", include_path=[str(f)])
+    assert "child" in reg.messages
