@@ -11,7 +11,10 @@ columnar engine:
 - ``stop_on_error``     -> same: raise on first parse failure instead of routing to
                            the dead-letter sink (protobuf.rb:139-140,227-228,429-431)
 - ``pb3_set_oneof_metainfo`` -> ``set_oneof_metainfo``: expose chosen-oneof-option
-                           names in a `_meta` struct column (protobuf.rb:145-154,221-223)
+                           names in a `_meta` struct column (protobuf.rb:145-154,221-223).
+                           Default FALSE, matching the reference's default
+                           (protobuf.rb:110-116) — queries that assert on the
+                           discriminator opt in explicitly.
 """
 
 from __future__ import annotations
@@ -28,7 +31,7 @@ class CodecConfig:
     message: str = "turn_payload"
     proto_version: int = 3
     stop_on_error: bool = False
-    set_oneof_metainfo: bool = True
+    set_oneof_metainfo: bool = False  # reference default (protobuf.rb:110-116)
     # explicit shuffle sizing for the routing fan-out (north_rule: explicit
     # repartition before the routing shuffle; sized for the target SF)
     route_partitions: int | None = None

@@ -84,13 +84,115 @@ FROM ranked WHERE rn = 1
 """
 
 
+def ivf_seed_farthest(emb: DataFrame, k: int = N_CENTROIDS) -> DataFrame:
+    """Deterministic farthest-point (k-center greedy) seeding — the quality
+    upgrade over first-K seeding for clustered corpora, kept exactly
+    oracle-expressible (no RNG, unlike classic kmeans++ sampling):
+
+    seed 0 = vec_id 0; each next seed is the vector MINIMIZING its maximum
+    cosine to the already-chosen set (i.e. maximizing its minimum angular
+    distance), ties broken by smallest vec_id.
+
+    Distribution shape: K-1 rounds, each ONE broadcast join (corpus x
+    |chosen|<=K) + a global top-1 — only K scalar ids ever reach the driver.
+    At 10^12 vectors the K passes run over a cached/persisted corpus; for
+    far larger K one switches to sampled kmeans|| — documented, not needed
+    at K=8. Returns (rank, vec_id, minmax_sim) with minmax_sim NULL for the
+    rank-0 seed."""
+    spark = emb.sparkSession
+    e = cache.track(_with_norm(emb).select("vec_id", "embedding", "nrm"))
+    chosen: list[tuple[int, int, float | None]] = [(0, 0, None)]
+    for i in range(1, k):
+        ids = [v for _, v, _ in chosen]
+        s = e.filter(F.col("vec_id").isin(ids)).select(
+            F.col("embedding").alias("cv"), F.col("nrm").alias("c_nrm"),
+        )
+        win = (
+            e.filter(~F.col("vec_id").isin(ids))
+            .join(F.broadcast(s))
+            .select(
+                "vec_id",
+                (SIM_pair_dot("embedding", "cv")
+                 / (F.col("nrm") * F.col("c_nrm"))).alias("_s"),
+            )
+            .groupBy("vec_id").agg(F.max("_s").alias("maxs"))
+            .orderBy(F.asc("maxs"), F.asc("vec_id"))
+            .first()
+        )
+        chosen.append((i, int(win["vec_id"]), float(win["maxs"])))
+    out = spark.createDataFrame(
+        chosen, "rank int, vec_id bigint, minmax_sim double")
+    return out.select(
+        "rank", "vec_id",
+        F.expr(SPARK.trunc6("minmax_sim")).alias("minmax_sim"),
+    )
+
+
+def ivf_seed_farthest_oracle(k: int = N_CENTROIDS) -> str:
+    """Chained-CTE twin of the greedy loop, in the standard INCREMENTAL
+    farthest-point form: maintain per-vector running max-cosine-to-chosen
+    (``m_i``), fold in only the newly selected seed each round (GREATEST),
+    and take the global argmin. One n-row pass per round — never an
+    n x |chosen| join — and every CTE is MATERIALIZED (DuckDB accepts the
+    hint; without it the doubly-referenced chain re-evaluates
+    exponentially). Dot products accumulate in identical index order in
+    both engines, so the argmin ordering is exact; the Spark twin computes
+    the same max over the chosen set non-incrementally (max of the same
+    doubles — order-independent, identical result)."""
+    d = DUCK
+    cos_v0 = d.dot("v.embedding", "s0.embedding")
+    nv = f"sqrt({d.dot('v.embedding', 'v.embedding')})"
+    ns0 = f"sqrt({d.dot('s0.embedding', 's0.embedding')})"
+    cos_vw = d.dot("v.embedding", "w.embedding")
+    nw = f"sqrt({d.dot('w.embedding', 'w.embedding')})"
+    parts = [f"""WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+),
+m1 AS MATERIALIZED (
+  SELECT v.vec_id, v.embedding,
+         ({cos_v0}) / (({nv}) * ({ns0})) AS maxs
+  FROM e v CROSS JOIN (SELECT embedding FROM e WHERE vec_id = 0) s0
+  WHERE v.vec_id <> 0
+)"""]
+    for i in range(1, k):
+        parts.append(f""",
+win{i} AS MATERIALIZED (
+  SELECT CAST({i} AS INTEGER) AS rank, vec_id, embedding, maxs
+  FROM m{i} ORDER BY maxs ASC, vec_id ASC LIMIT 1
+)""")
+        if i < k - 1:
+            parts.append(f""",
+m{i + 1} AS MATERIALIZED (
+  SELECT v.vec_id, v.embedding,
+         GREATEST(v.maxs, ({cos_vw}) / (({nv}) * ({nw}))) AS maxs
+  FROM m{i} v CROSS JOIN win{i} w
+  WHERE v.vec_id <> w.vec_id
+)""")
+    wins = "\n  UNION ALL ".join(
+        f"SELECT rank, vec_id, maxs FROM win{i}" for i in range(1, k))
+    parts.append(f"""
+SELECT rank, vec_id, {d.trunc6('maxs')} AS minmax_sim FROM (
+  SELECT CAST(0 AS INTEGER) AS rank, CAST(0 AS BIGINT) AS vec_id,
+         CAST(NULL AS DOUBLE) AS maxs
+  UNION ALL {wins}
+)""")
+    return "".join(parts)
+
+
 def ivf_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
-             n_centroids: int = N_CENTROIDS, n_probe: int = 2) -> DataFrame:
+             n_centroids: int = N_CENTROIDS, n_probe: int = 2,
+             seed_ids: list[int] | None = None) -> DataFrame:
     """Approximate top-k: each query scores only the vectors whose inverted
-    list is among the query's ``n_probe`` nearest centroids."""
+    list is among the query's ``n_probe`` nearest centroids. ``seed_ids``
+    overrides the default first-K centroid seed (e.g. with
+    ``ivf_seed_farthest`` output) — recall rises on clustered corpora
+    because the lists then straddle every cluster, not just the first."""
     d = SPARK
     e = cache.track(_with_norm(emb).select("vec_id", "embedding", "nrm"))
-    c = e.filter(F.col("vec_id") < n_centroids).select(
+    seed_pred = (F.col("vec_id").isin(list(seed_ids))
+                 if seed_ids is not None
+                 else F.col("vec_id") < n_centroids)
+    c = e.filter(seed_pred).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("cv"),
         F.col("nrm").alias("c_nrm"),

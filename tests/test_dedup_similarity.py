@@ -229,3 +229,49 @@ def test_dedup_clusters_deep_chain_converges(spark):
     out = dedup_clusters(docs, pairs=chain).collect()
     assert {r["cluster_id"] for r in out} == {0}
     assert sum(r["is_canonical"] for r in out) == 1
+
+
+def test_farthest_point_seeding_beats_first_k_on_clustered_corpus(spark):
+    """Farthest-point seeding must straddle every cluster; first-K seeding on
+    a corpus whose first K vectors all sit in ONE cluster collapses the
+    inverted lists there and loses the other clusters' neighbors. Built so
+    vec_ids 0..7 are all cluster-0 members: recall with farthest seeds must
+    strictly beat first-K recall."""
+    import math
+
+    from pyspark.sql import Row
+
+    from logstash_codec_protobuf_spark.operators import ivf as IVF
+
+    # 4 tight clusters of 12 vectors in 8-d; first 8 ids are ALL cluster 0
+    dim, per, k = 8, 12, 4
+    rows = []
+    vid = 0
+    order = [0] * 8 + [c for c in range(4) for _ in range(per)][8:]
+    # deterministic jitter via an integer hash, no RNG
+    for c in order:
+        base = [math.cos(2 * math.pi * c / 4 + j) for j in range(dim)]
+        jit = [((vid * 31 + j * 7) % 11 - 5) / 200.0 for j in range(dim)]
+        rows.append(Row(vec_id=vid,
+                        embedding=[float(b + e) for b, e in zip(base, jit)]))
+        vid += 1
+    emb = spark.createDataFrame(rows)
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in SIM.cosine_topk(emb, n_queries=8, k=5).collect()}
+
+    def recall(seed_ids):
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in IVF.ivf_topk(emb, n_queries=8, k=5,
+                                        n_centroids=k, n_probe=1,
+                                        seed_ids=seed_ids).collect()}
+        return len(exact & approx) / len(exact)
+
+    far = [r["vec_id"]
+           for r in IVF.ivf_seed_farthest(emb, k=k).collect()]
+    r_first = recall(list(range(k)))   # first-K: all in cluster 0
+    r_far = recall(far)
+    assert r_far > r_first, (r_first, r_far, far)
+    # farthest seeds must cover all 4 clusters
+    clusters = {order[v] for v in far}
+    assert clusters == {0, 1, 2, 3}, (far, clusters)
