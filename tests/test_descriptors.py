@@ -141,3 +141,30 @@ def test_to_protobuf_swap_in_gating(spark):
         row = W.decode_turn_wire(
             W.encode_turn_wire_jvm(flat), impl="jvm").first()
         assert row["decoded"]["conv_id"] == row["conv_id"]
+
+
+def test_descriptor_set_transitive_message_closure():
+    """descriptor_set_bytes must transitively include message-typed
+    dependencies (and their enums): probe_result references
+    ping_ipv4_result which references the PingStatus enum — a set missing
+    either is unresolvable on the JVM from_protobuf path."""
+    from logstash_codec_protobuf_spark.descriptors import descriptor_set_bytes
+    from logstash_codec_protobuf_spark.schema import default_registry
+
+    reg = default_registry()
+    buf = descriptor_set_bytes(reg, ["probe_result"])
+    # names appear as length-delimited strings in the serialized set
+    assert b"ping_ipv4_result" in buf
+    assert b"PingStatus" in buf
+
+    import pytest
+
+    from logstash_codec_protobuf_spark.schema import (
+        FieldSpec, MessageSpec, SchemaRegistry,
+    )
+
+    bad = SchemaRegistry()
+    bad.register_message(MessageSpec("orphan", (
+        FieldSpec("x", "message:nowhere"),)))
+    with pytest.raises(ValueError, match="unknown message dependency"):
+        descriptor_set_bytes(bad, ["orphan"])

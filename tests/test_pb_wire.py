@@ -519,3 +519,33 @@ def test_varint_bounds_edges_sql_encoder(spark):
         assert r["payload_hex"] == W.py_encode_turn(r.asDict()).hex()
     assert got[2]["payload_hex"] is None   # cents over bound
     assert got[3]["payload_hex"] is None   # msg length over bound
+
+
+def test_value_unknown_fields_skipped_by_wire_type():
+    """A google.protobuf.Value carrying fields from a NEWER schema revision
+    (unknown field numbers) must decode, skipping them by wire type — not
+    dead-letter the row (forward compatibility, same rule as the
+    message-level parser)."""
+    import struct as _struct
+
+    from logstash_codec_protobuf_spark.functions.wire import (
+        py_field_len, py_field_string, py_field_varint,
+    )
+    from logstash_codec_protobuf_spark.operators.pb_wire import (
+        _decode_value,
+    )
+
+    # known: string_value (3) = "keep"; unknown: varint field 9,
+    # length-delimited field 12, fixed32 field 13, fixed64 field 14
+    buf = (py_field_varint(9, 42)
+           + py_field_string(3, "keep")
+           + py_field_len(12, b"\x01\x02\x03")
+           + bytes([13 << 3 | 5]) + _struct.pack("<f", 1.5)
+           + bytes([14 << 3 | 1]) + _struct.pack("<d", 2.5))
+    assert _decode_value(buf) == "keep"
+
+    # truncated unknown fixed32 still dead-letters (bounds hold)
+    import pytest
+
+    with pytest.raises(ValueError):
+        _decode_value(bytes([13 << 3 | 5]) + b"\x00\x00")
