@@ -490,6 +490,82 @@ aggregate.turn_order_segmented), so both operators ride the same fix.
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def run_sfscale(sf_dir: str, sf: str) -> dict:
+    """Order-of-magnitude data-scale slope for the headline parse->route
+    kernel: the same job at ~2M, ~20M, and ~200M turns (sf0.1 transcripts
+    deterministically replicated x20/x200/x2000 — the x2000 point is the
+    sf1-equivalent '1M-turn base replicated x200' of the round-3 verdict)
+    on the same local[32] session size. Evidence target: turns/sec holds
+    flat (wall time grows ~linearly with rows); a superlinear slope would
+    flag a hidden all-pairs/skew/spill stage before it ever reaches a
+    cluster. Writes BENCH/sf_scale_latest.md."""
+    from logstash_codec_protobuf_spark.operators.enrich import enrich
+    from logstash_codec_protobuf_spark.operators.parse import parse_turns
+    from logstash_codec_protobuf_spark.operators.route import route_all
+    from logstash_codec_protobuf_spark.sources.transcripts import (
+        replicated_transcripts,
+    )
+
+    repls = [int(x) for x in os.environ.get(
+        "SPARK_GRAFT_SFSCALE_REPLS", "20,200,2000").split(",")]
+    spark = make_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    results: dict[int, dict] = {}
+    try:
+        for k in repls:
+            stage = tempfile.mkdtemp(prefix=f"bench_sfscale_{k}_")
+            # partition count scales with the data so each split stays
+            # ~page-cache friendly and 32 cores never starve
+            replicated_transcripts(spark, sf_dir, k).repartition(
+                max(64, min(1024, k * 2))
+            ).write.mode("overwrite").parquet(stage)
+            tr = spark.read.parquet(stage)
+            n = tr.count()
+            tr.selectExpr("sum(length(text))").collect()  # page-cache warm
+
+            def _pr():
+                routed = route_all(enrich(parse_turns(tr, impl="native"),
+                                          spark, tag_unknown=False))
+                routed.selectExpr(
+                    "sum(hash(conv_id, turn_idx, ts, text, tool, cents,"
+                    " decoder_exception, sink))", "count(1)").collect()
+
+            _pr()  # codegen/python-pool warm
+            t = min(_timed(_pr) for _ in range(2))
+            results[k] = {"n_turns": n, "parse_route_sec": round(t, 2),
+                          "tps": round(n / t),
+                          "loadavg": _loadavg()}
+            shutil.rmtree(stage, ignore_errors=True)
+    finally:
+        spark.stop()
+
+    base = results[repls[0]]
+    hi = results[repls[-1]]
+    scale = hi["n_turns"] / base["n_turns"]
+    slope = (hi["parse_route_sec"] / base["parse_route_sec"]) / scale
+    report = {"sf": sf, "repls": repls,
+              **{f"x{k}": v for k, v in results.items()},
+              "wall_slope_vs_linear": round(slope, 3)}
+    os.makedirs("BENCH", exist_ok=True)
+    rows = "\n".join(
+        f"| x{k} | {r['n_turns']:,} | {r['parse_route_sec']} | "
+        f"{r['tps']:,} | {r['loadavg']} |"
+        for k, r in sorted(results.items())
+    )
+    with open("BENCH/sf_scale_latest.md", "w") as f:
+        f.write(f"""# Data-scale slope: parse->route kernel, sf{sf} replicated
+
+Same job, same local[32] session config, input replicated one and two
+orders of magnitude. A scale-correct kernel holds turns/sec ~flat; the
+normalized wall slope vs perfect linear is **{slope:.3f}** (1.0 = ideal,
+>1 = superlinear growth = hidden scale-killer).
+
+| input | turns | parse_route wall sec | turns/sec | loadavg at case |
+| --- | --- | --- | --- | --- |
+{rows}
+""")
+    return report
+
+
 def run_docscale(sf_dir: str, sf: str) -> dict:
     """Dedup-tier scale stress: the documents table replicated 1x/10x/100x
     with a per-replica character substitution (translate over rep-derived
@@ -619,6 +695,10 @@ def main() -> None:
 
     if "--docscale" in sys.argv:
         print(json.dumps(run_docscale(sf_dir, sf)))
+        return
+
+    if "--sfscale" in sys.argv:
+        print(json.dumps(run_sfscale(sf_dir, sf)))
         return
 
     load_start = _loadavg()
