@@ -514,9 +514,13 @@ def run_sfscale(sf_dir: str, sf: str) -> dict:
         for k in repls:
             stage = tempfile.mkdtemp(prefix=f"bench_sfscale_{k}_")
             # partition count scales with the data so each split stays
-            # ~page-cache friendly and 32 cores never starve
-            replicated_transcripts(spark, sf_dir, k).repartition(
-                max(64, min(1024, k * 2))
+            # ~page-cache friendly and 32 cores never starve; partitioning
+            # is set on the BASE before the explode (replicated_transcripts)
+            # so the heavy 1->k map stage itself runs wide — repartitioning
+            # AFTER the explode would both strand cores during the explode
+            # and shuffle the full k-times output
+            replicated_transcripts(
+                spark, sf_dir, k, parts=max(64, min(1024, k * 2))
             ).write.mode("overwrite").parquet(stage)
             tr = spark.read.parquet(stage)
             n = tr.count()

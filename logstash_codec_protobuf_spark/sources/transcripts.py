@@ -107,15 +107,24 @@ def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def replicated_transcripts(spark: SparkSession, sf_dir: str,
-                           factor: int = 10) -> DataFrame:
+                           factor: int = 10, parts: int | None = None
+                           ) -> DataFrame:
     """Deterministic scale-up of the transcripts table for benchmarking:
     each conversation is cloned `factor` times under a replica-suffixed
     conv_id, preserving per-conversation structure (turn counts, skew shape,
     malformed fraction). Used to make the scaling-efficiency measurement
-    compute-bound instead of overhead-bound."""
+    compute-bound instead of overhead-bound.
+
+    The BASE is repartitioned to ``parts`` BEFORE the explode: the source
+    table is tiny (a handful of scan splits), so without this the 1->factor
+    explode — the expensive map stage at factor>=1000 — runs on those few
+    splits' tasks and strands the other cores. Repartitioning the small
+    side costs a shuffle of base rows only, never of the exploded output."""
     tr = transcripts_df(spark, sf_dir)
     from pyspark.sql import functions as F
 
+    tr = tr.repartition(parts if parts is not None
+                        else max(32, min(256, factor // 4)))
     reps = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_rep")
     return (
         tr.select("*", reps)
