@@ -522,6 +522,17 @@ def run_sfscale(sf_dir: str, sf: str) -> dict:
             replicated_transcripts(
                 spark, sf_dir, k, parts=max(64, min(1024, k * 2))
             ).write.mode("overwrite").parquet(stage)
+            # per-level split sizing: the global 16m cap packs a small
+            # level's files into a handful of scan splits (x20 staged ~24MB
+            # -> 2 splits -> 2 busy cores), which would bill core-starvation
+            # to the small level and fake a sublinear slope. Target ~128
+            # splits at every level so each point runs at full parallelism.
+            size = sum(
+                os.path.getsize(os.path.join(stage, f))
+                for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            split = max(1 << 20, min(16 << 20, size // 128))
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
             tr = spark.read.parquet(stage)
             n = tr.count()
             tr.selectExpr("sum(length(text))").collect()  # page-cache warm
@@ -534,25 +545,28 @@ def run_sfscale(sf_dir: str, sf: str) -> dict:
                     " decoder_exception, sink))", "count(1)").collect()
 
             _pr()  # codegen/python-pool warm
-            t = min(_timed(_pr) for _ in range(2))
-            results[k] = {"n_turns": n, "parse_route_sec": round(t, 2),
-                          "tps": round(n / t),
+            passes = [round(_timed(_pr), 2) for _ in range(3)]
+            t = min(passes)  # min damps shared-host noise (documented 2-3x
+            # transient swings on this sandbox); every pass is logged
+            results[k] = {"n_turns": n, "parse_route_sec": t,
+                          "passes": passes, "tps": round(n / t),
                           "loadavg": _loadavg()}
             shutil.rmtree(stage, ignore_errors=True)
     finally:
         spark.stop()
 
-    base = results[repls[0]]
-    hi = results[repls[-1]]
-    scale = hi["n_turns"] / base["n_turns"]
-    slope = (hi["parse_route_sec"] / base["parse_route_sec"]) / scale
+    # slope from the two LARGEST levels: the smallest point is dominated by
+    # fixed per-job overhead (~1 s) and would flatter the slope
+    mid, hi = results[repls[-2]], results[repls[-1]]
+    scale = hi["n_turns"] / mid["n_turns"]
+    slope = (hi["parse_route_sec"] / mid["parse_route_sec"]) / scale
     report = {"sf": sf, "repls": repls,
               **{f"x{k}": v for k, v in results.items()},
               "wall_slope_vs_linear": round(slope, 3)}
     os.makedirs("BENCH", exist_ok=True)
     rows = "\n".join(
         f"| x{k} | {r['n_turns']:,} | {r['parse_route_sec']} | "
-        f"{r['tps']:,} | {r['loadavg']} |"
+        f"{r['passes']} | {r['tps']:,} | {r['loadavg']} |"
         for k, r in sorted(results.items())
     )
     with open("BENCH/sf_scale_latest.md", "w") as f:
@@ -560,11 +574,13 @@ def run_sfscale(sf_dir: str, sf: str) -> dict:
 
 Same job, same local[32] session config, input replicated one and two
 orders of magnitude. A scale-correct kernel holds turns/sec ~flat; the
-normalized wall slope vs perfect linear is **{slope:.3f}** (1.0 = ideal,
->1 = superlinear growth = hidden scale-killer).
+normalized wall slope vs perfect linear between the two LARGEST levels is
+**{slope:.3f}** (1.0 = ideal, >1 = superlinear growth = hidden
+scale-killer; the smallest level is fixed-overhead-dominated and excluded
+from the slope). Per-level wall = min of 3 logged passes (shared host).
 
-| input | turns | parse_route wall sec | turns/sec | loadavg at case |
-| --- | --- | --- | --- | --- |
+| input | turns | parse_route wall sec (min) | passes | turns/sec | loadavg after case |
+| --- | --- | --- | --- | --- | --- |
 {rows}
 """)
     return report
