@@ -405,6 +405,94 @@ FROM reach GROUP BY node
 """
 
 
+def dedup_clusters_star(docs: DataFrame, pairs: DataFrame | None = None,
+                        max_iter: int = 25,
+                        rounds_out: list[int] | None = None) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction — the O(log n)-round scale path that `dedup_clusters`'s
+    docstring promises for 10^12-doc graphs (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14; public algorithm).
+
+    Min-label propagation needs `diameter` rounds: a 10^6-long chain of
+    near-dup docs (crawl mirrors chained by shared boilerplate) needs 10^6
+    joins.  Star contraction halves component height every other round, so
+    the same chain closes in ~2*log2(n) rounds.  Per round the plan shape is
+    identical to one propagation step — a groupBy-min plus an equi-join on
+    the node id, both shuffling on the id — so the win is strictly in round
+    count, not per-round cost.
+
+      large-star: every node u links its GREATER neighbors to
+                  m(u) = min(neighborhood(u) + {u})  — tall trees flatten;
+      small-star: orient every edge (max, min); every node u links its
+                  smaller neighbors AND ITSELF to the min — stars form.
+
+    Converged when the edge set is a fixed point (two emptiness probes on
+    consecutive rounds — an anti-join each way, never a full count).  The
+    converged graph is a union of stars centered at each component's min
+    doc_id, so the final labeling is one groupBy-min.  Per-round
+    ``localCheckpoint`` cuts lineage exactly as in `dedup_clusters` (on a
+    real cluster: ``checkpoint()`` to reliable storage).
+
+    Output contract is identical to `dedup_clusters`:
+    (doc_id, cluster_id, is_canonical) for EVERY doc."""
+    if pairs is None:
+        pairs = minhash_pairs(docs)
+    edges = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .filter(F.col("u") != F.col("v")).distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+             .select("u", F.least("mn", "u").alias("m")))
+        large = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        oriented = large.select(F.greatest("u", "v").alias("u"),
+                                F.least("u", "v").alias("v"))
+        m2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        converged = (
+            small.subtract(edges).limit(1).count() == 0
+            and edges.subtract(small).limit(1).count() == 0
+        )
+        edges = small
+        if converged:
+            break
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    lab = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        docs.select("doc_id")
+        .join(lab.select(F.col("u").alias("doc_id"), "mn"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.least(F.col("doc_id"), F.coalesce("mn", "doc_id"))
+            .alias("cluster_id"),
+        )
+        .select("doc_id", "cluster_id",
+                (F.col("doc_id") == F.col("cluster_id"))
+                .alias("is_canonical"))
+    )
+
+
 def _shingle_hashes_all(d: Dialect) -> str:
     """Frequency-PRESERVING (non-distinct) shingle-hash multiset — the
     weighted-SimHash basis: every occurrence votes, so each shingle's weight

