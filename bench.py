@@ -700,6 +700,117 @@ component diameter.
     return report
 
 
+def run_ccrounds(sf_dir: str, sf: str) -> dict:
+    """Cluster-resolution round-count evidence: min-label propagation needs
+    `component diameter` rounds; large-star/small-star contraction needs
+    O(log n). At 10^12 docs a crawl-mirror chain can be arbitrarily deep, so
+    the round count — each round a full shuffle wave over the edge set — IS
+    the scale difference.
+
+    Levels: synthetic path graphs (worst-case diameter) at increasing n,
+    plus the real LSH pair graph of the documents corpus (shallow — shows
+    contraction costs nothing extra on the easy, common case)."""
+    from pyspark.sql import functions as F
+
+    from logstash_codec_protobuf_spark import cache
+    from logstash_codec_protobuf_spark.operators import dedup as DD
+
+    chain_ns = [int(x) for x in os.environ.get(
+        "SPARK_GRAFT_CC_NS", "256,1024,4096").split(",")]
+    prop_cap = int(os.environ.get("SPARK_GRAFT_CC_PROP_CAP", "24"))
+    spark = make_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    report: dict = {"sf": sf, "chains": {}, "lsh_graph": {}}
+    try:
+        # warm pass so JVM/codegen init is not billed to the first level
+        w = spark.range(8).select(F.col("id").alias("doc_id"),
+                                  F.lit("x").alias("text"))
+        wp = w.select(F.col("doc_id").alias("a_id"),
+                      (F.col("doc_id") + 1).alias("b_id")).filter("b_id < 8")
+        DD.dedup_clusters_star(w, pairs=wp).count()
+
+        for n in chain_ns:
+            docs = spark.range(n).select(F.col("id").alias("doc_id"),
+                                         F.lit("x").alias("text"))
+            pairs = docs.select(
+                F.col("doc_id").alias("a_id"),
+                (F.col("doc_id") + 1).alias("b_id")
+            ).filter(F.col("b_id") < n)
+            r_star: list[int] = []
+            t_star = _timed(lambda: DD.dedup_clusters_star(
+                docs, pairs=pairs, rounds_out=r_star).count())
+            row = {"star_rounds": r_star[0], "star_sec": round(t_star, 2),
+                   "prop_rounds_needed": n - 1}
+            if n == chain_ns[0]:
+                # show, don't tell: propagation capped at prop_cap rounds
+                # still has not merged the chain
+                r_prop: list[int] = []
+                got = [0]
+
+                def _prop():
+                    got[0] = (DD.dedup_clusters(
+                        docs, pairs=pairs, max_iter=prop_cap,
+                        rounds_out=r_prop)
+                        .select("cluster_id").distinct().count())
+
+                t_prop = _timed(_prop)
+                row["prop_capped_rounds"] = r_prop[0]
+                row["prop_capped_sec"] = round(t_prop, 2)
+                row["prop_capped_clusters_left"] = got[0]
+            report["chains"][n] = row
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        pairs = DD.minhash_pairs(docs)
+        r_star, r_prop = [], []
+        t_star = _timed(lambda: DD.dedup_clusters_star(
+            docs, pairs=pairs, rounds_out=r_star).count())
+        cache.release_tracked()
+        pairs = DD.minhash_pairs(docs)
+        t_prop = _timed(lambda: DD.dedup_clusters(
+            docs, pairs=pairs, rounds_out=r_prop).count())
+        cache.release_tracked()
+        report["lsh_graph"] = {
+            "n_docs": docs.count(),
+            "star_rounds": r_star[0], "star_sec": round(t_star, 2),
+            "prop_rounds": r_prop[0], "prop_sec": round(t_prop, 2),
+        }
+    finally:
+        spark.stop()
+
+    rows = []
+    for n, r in report["chains"].items():
+        capped = (f"{r.get('prop_capped_clusters_left', '—')} clusters left "
+                  f"after {r.get('prop_capped_rounds', '—')} rounds / "
+                  f"{r.get('prop_capped_sec', '—')}s"
+                  if "prop_capped_rounds" in r else "—")
+        rows.append(f"| path {n:,} | {r['star_rounds']} | {r['star_sec']} | "
+                    f"{r['prop_rounds_needed']} | {capped} |")
+    g = report["lsh_graph"]
+    md = f"""# Cluster-resolution rounds — star contraction vs min-label propagation
+
+Connected components over the near-dup pair graph is the one iterative
+operator in the dedup tier; every round is a full shuffle wave over the edge
+set, so ROUND COUNT is the scale axis. Min-label propagation converges in
+`diameter` rounds; alternating large-star/small-star contraction (Kiveris et
+al., SoCC'14) in O(log n). Worst case input: a path graph (crawl mirrors
+chained by shared boilerplate).
+
+| graph | star rounds | star sec | propagation rounds needed | propagation capped at {prop_cap} |
+| --- | --- | --- | --- | --- |
+{chr(10).join(rows)}
+
+Real (shallow) LSH pair graph, documents sf{sf} ({g['n_docs']:,} docs):
+star {g['star_rounds']} rounds / {g['star_sec']}s vs propagation
+{g['prop_rounds']} rounds / {g['prop_sec']}s — contraction costs nothing
+extra on the common shallow case and removes the diameter cliff entirely;
+`dedup_clusters_star` is the drop-in for adversarial graphs (parity-tested:
+identical labeling, same oracle).
+"""
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/cc_star_latest.md", "w") as f:
+        f.write(md)
+    return report
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -719,6 +830,10 @@ def main() -> None:
 
     if "--sfscale" in sys.argv:
         print(json.dumps(run_sfscale(sf_dir, sf)))
+        return
+
+    if "--ccrounds" in sys.argv:
+        print(json.dumps(run_ccrounds(sf_dir, sf)))
         return
 
     load_start = _loadavg()

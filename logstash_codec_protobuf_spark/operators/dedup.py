@@ -325,7 +325,8 @@ def simhash_oracle() -> str:
 
 
 def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
-                   max_iter: int = 20) -> DataFrame:
+                   max_iter: int = 20,
+                   rounds_out: list[int] | None = None) -> DataFrame:
     """Duplicate-cluster resolution: connected components over the near-dup
     pair graph, labeling every doc with the MIN doc_id of its component
     (the canonical survivor a training-data dedup keeps).
@@ -352,6 +353,7 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
                             F.col("a_id").alias("dst")))
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    rounds = 0
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["src"] == labels["doc_id"])
@@ -376,8 +378,11 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
             .limit(1).count()  # emptiness probe, not a full count
         )
         labels = new_labels
+        rounds += 1
         if changed == 0:
             break
+    if rounds_out is not None:
+        rounds_out.append(rounds)
     return labels.select(
         "doc_id", "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),

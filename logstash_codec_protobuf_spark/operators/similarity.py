@@ -1,10 +1,16 @@
 """Similarity search over embedding columns (array<float>).
 
 - ``cosine_topk``      : brute-force exact top-k — the correctness baseline.
-                         Query set × corpus cross join; per-query top-k via
-                         window rank. Fine for small query sets; the oracle is
-                         exact because both engines fold the dot product in
-                         identical index order in double precision.
+                         O(corpus x queries) work by definition, but shaped
+                         for scale anyway: the CORPUS is the scanned side
+                         (only the small query set is broadcast — never the
+                         corpus), and a per-Arrow-batch partial top-k
+                         reduces the scored stream from q*n rows to
+                         q*k per batch BEFORE the per-query window, so the
+                         q-key window funnel sees a few thousand rows no
+                         matter the corpus size. The oracle is exact because
+                         both engines fold the dot product in identical
+                         index order in double precision.
 - ``lsh_topk``         : random-hyperplane LSH bucketing — the scale path.
                          Corpus hashed once into 2^n_planes buckets; each query
                          probes only its own bucket (plus optional hamming-1
@@ -57,8 +63,30 @@ def pair_dot(a: str | Column, b: str | Column) -> Column:
                         F.col(b) if isinstance(b, str) else b)
 
 
+def _local_topk(k: int):
+    """Per-Arrow-batch partial top-k under the FINAL total order
+    (score desc, neighbor_id asc): every global top-k row is top-k within
+    its own batch, so keeping k per (query, batch) is a lossless reduction —
+    the map-side combine the q-key window cannot do for itself."""
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf.sort_values(["query_id", "score", "neighbor_id"],
+                                      ascending=[True, False, True])
+                yield pdf.groupby("query_id", sort=False).head(k)
+    return fn
+
+
 def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
-    """Exact top-k neighbors (excluding self) for query vectors vec_id < n."""
+    """Exact top-k neighbors (excluding self) for query vectors vec_id < n.
+
+    Scale shape (even though exact search is O(n*q) by definition): the
+    corpus is SCANNED, the query rows are the broadcast side — broadcasting
+    the corpus (the tempting one-liner) dies at the first real corpus. The
+    scored stream is then cut to <= q*k rows per Arrow batch by a
+    mapInPandas partial top-k before the per-query window, so the window's
+    q-key shuffle — which would otherwise funnel q*n rows into q tasks —
+    ranks a few thousand survivors regardless of corpus size."""
     d = SPARK
     nrm = F.expr(f"sqrt({d.dot('embedding', 'embedding')})")
     h = emb.withColumn("nrm", nrm)
@@ -70,14 +98,15 @@ def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
                  F.col("embedding").alias("cv"),
                  F.col("nrm").alias("c_nrm"))
     scored = (
-        q.join(F.broadcast(c), F.col("query_id") != F.col("neighbor_id"))
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
                 (pair_dot("qv", "cv") / (F.col("q_nrm") * F.col("c_nrm")))
                 .alias("score"))
     )
+    reduced = scored.mapInPandas(_local_topk(k), schema=scored.schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        reduced.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id",
                 F.expr(SPARK.trunc6("score")).alias("score"), "rank")

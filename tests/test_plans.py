@@ -205,3 +205,23 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_cosine_topk_broadcasts_queries_not_corpus(spark):
+    """Exact top-k is O(n*q) work but must never put the CORPUS on the
+    build/broadcast side, and must cut the scored stream with a partial
+    top-k before the q-key window (else q tasks rank q*n rows)."""
+    from logstash_codec_protobuf_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _executed(cosine_topk(emb, n_queries=8, k=5))
+    # exactly one broadcast: the filtered 8-row query side (vec_id < 8
+    # appears under the BroadcastExchange's subtree in the formatted plan)
+    assert plan.count("BroadcastExchange") == 1, plan[:1500]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:1500]
+    # the partial top-k reduction sits between scoring and the window
+    assert "MapInPandas" in plan, plan[:1500]
+    # window input must be the reduced stream: the plan orders
+    # MapInPandas BEFORE the Window operator in execution (bottom-up text:
+    # Window appears above/before MapInPandas in toString)
+    assert plan.index("Window") < plan.index("MapInPandas"), plan[:1500]
