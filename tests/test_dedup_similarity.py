@@ -273,6 +273,48 @@ def test_star_contraction_logarithmic_rounds_on_deep_chain(spark):
     assert rounds[0] <= 2 * n.bit_length() + 2, rounds
 
 
+def test_star_contraction_matches_union_find_on_random_graphs(spark):
+    """Seeded random graphs vs a pure-Python union-find ground truth —
+    the adversarial shapes hand-written cases miss (cross edges between
+    half-merged stars, multi-hub components, dense cores + pendants)."""
+    import random
+
+    def union_find_labels(n, edges):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # component min == min over members' roots after full compression
+        comp: dict[int, int] = {}
+        for i in range(n):
+            r = find(i)
+            comp[r] = min(comp.get(r, i), i)
+        return {i: comp[find(i)] for i in range(n)}
+
+    rng = random.Random(20260817)
+    for trial, (n, n_edges) in enumerate(
+            [(30, 15), (40, 60), (25, 8), (50, 30)]):
+        edges = {(min(a, b), max(a, b))
+                 for a, b in ((rng.randrange(n), rng.randrange(n))
+                              for _ in range(n_edges)) if a != b}
+        want = union_find_labels(n, edges)
+        docs = spark.createDataFrame([(i, "x") for i in range(n)],
+                                     "doc_id long, text string")
+        pairs = spark.createDataFrame(sorted(edges),
+                                      "a_id long, b_id long")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in DD.dedup_clusters_star(docs, pairs=pairs).collect()}
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
 def test_farthest_point_seeding_beats_first_k_on_clustered_corpus(spark):
     """Farthest-point seeding must straddle every cluster; first-K seeding on
     a corpus whose first K vectors all sit in ONE cluster collapses the
