@@ -155,29 +155,54 @@ def _band_exprs(d: Dialect, basis: str = "_hb") -> list[str]:
     return bands
 
 
+import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
+from numpy.lib.stride_tricks import sliding_window_view  # noqa: E402
 from pyspark.sql import types as T  # noqa: E402
+
+# Horner-expanded poly-hash weights for a k=4 window: the per-char loop
+# acc = (acc*31 + c) % MOD is congruent to (c0*31^3 + c1*31^2 + c2*31 + c3)
+# % MOD, and every intermediate stays < 2^38 (codepoints < 2^21), so one
+# int64 matmul replaces the Python char loop exactly.
+_POLY_W = np.array([31 ** 3, 31 ** 2, 31, 1], dtype=np.int64)
+# Exact 64-bit pack of a 4-char window when every codepoint is BMP
+# (< 2^16) — turns string-level dedup into a 1-D np.unique. Non-BMP texts
+# fall back to row-wise unique; equality is on the CHARACTERS either way,
+# so hash collisions between distinct shingles are preserved, same as the
+# dict.fromkeys original.
+_PACK_W = np.array([1 << 48, 1 << 32, 1 << 16, 1], dtype=np.int64)
+_BIT_SHIFTS = np.arange(32, dtype=np.int64)
+
+
+def _codepoints(t: str) -> "np.ndarray":
+    return np.frombuffer(t.encode("utf-32-le"),
+                         dtype=np.uint32).astype(np.int64)
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def _shingle_hashes_udf(text: pd.Series) -> pd.Series:
     """Arrow-vectorized twin of _shingle_hashes: distinct char-4-gram poly
     hashes + two Lehmer rounds, EXACT integer arithmetic identical to the SQL
-    template (all intermediates < 2^47, ord == ascii for the codepoints both
-    engines produce). Exists because transform/aggregate higher-order
-    functions are interpreted per element in Catalyst — the basis was the
-    dominant cost of every fingerprint operator."""
+    template (all intermediates < 2^47). Exists because transform/aggregate
+    higher-order functions are interpreted per element in Catalyst — the
+    basis was the dominant cost of every fingerprint operator. The kernel is
+    numpy end-to-end: utf-32 decode -> sliding windows -> packed-key string
+    dedup -> one matmul poly hash (no per-char Python)."""
     k = MINHASH_SHINGLE_K
     out = []
     for t in text:
-        seen = dict.fromkeys(t[i:i + k] for i in range(len(t) - k + 1))
-        hs = []
-        for s in seen:
-            acc = 0
-            for ch in s:
-                acc = (acc * 31 + ord(ch)) % MOD
-            hs.append(((acc * 48271 % MOD) * 48271) % MOD)
-        out.append(hs)
+        c = _codepoints(t)
+        if len(c) < k:
+            out.append([])
+            continue
+        w = sliding_window_view(c, k)
+        if c.max() < 65536:
+            _, idx = np.unique(w @ _PACK_W, return_index=True)
+            w = w[idx]
+        else:
+            w = np.unique(w, axis=0)
+        h = (w @ _POLY_W) % MOD
+        out.append((h * 48271 % MOD * 48271 % MOD).tolist())
     return pd.Series(out)
 
 
@@ -201,12 +226,13 @@ def _minhash_sigs_udf(hb: pd.Series) -> pd.Series:
     """16 permutation minima per basis array — exact int64 arithmetic
     (hash < 2^31, multiplier < 2^17 -> products < 2^48), identical to the
     SQL minhash_term template."""
-    import numpy as np
-
+    A = np.array([a for a, _ in MINHASH_PERMS], dtype=np.int64)
+    B = np.array([b for _, b in MINHASH_PERMS], dtype=np.int64)
     out = []
     for hs in hb:
         arr = np.asarray(hs, dtype=np.int64)
-        out.append([int(((arr * a + b) % MOD).min()) for a, b in MINHASH_PERMS])
+        # one (n,16) matrix per row instead of 16 tiny passes
+        out.append(((arr[:, None] * A + B) % MOD).min(0).tolist())
     return pd.Series(out)
 
 
@@ -293,18 +319,18 @@ def _shingle_hashes(d: Dialect) -> str:
 @F.pandas_udf(T.LongType())
 def _simhash32_udf(hb: pd.Series) -> pd.Series:
     """32-bit majority vote over the basis — same rule as the SQL template
-    (bit b set iff 2*count(bit set) > len)."""
-    import numpy as np
-
+    (bit b set iff 2*count(bit set) > len); one (n,32) bit matrix per row
+    instead of 32 tiny passes."""
     out = []
     for hs in hb:
         arr = np.asarray(hs, dtype=np.int64)
         n = len(arr)
-        v = 0
-        for b in range(32):
-            if 2 * int(((arr >> b) & 1).sum()) > n:
-                v |= 1 << b
-        out.append(v)
+        if n == 0:
+            out.append(0)
+            continue
+        bits = ((arr[:, None] >> _BIT_SHIFTS) & 1).sum(0)
+        out.append(int((((2 * bits > n).astype(np.int64)
+                         << _BIT_SHIFTS)).sum()))
     return pd.Series(out)
 
 
@@ -512,18 +538,18 @@ def _shingle_hashes_all(d: Dialect) -> str:
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def _shingle_hashes_all_udf(text: pd.Series) -> pd.Series:
-    """Arrow twin of _shingle_hashes_all (no dedup — one hash per occurrence,
-    text order preserved; the vote is order-insensitive anyway)."""
+    """Arrow twin of _shingle_hashes_all (no dedup — one hash per occurrence;
+    the vote is order-insensitive). Same numpy window matmul as the distinct
+    basis, minus the dedup step."""
     k = MINHASH_SHINGLE_K
     out = []
     for t in text:
-        hs = []
-        for i in range(len(t) - k + 1):
-            acc = 0
-            for ch in t[i:i + k]:
-                acc = (acc * 31 + ord(ch)) % MOD
-            hs.append(((acc * 48271 % MOD) * 48271) % MOD)
-        out.append(hs)
+        c = _codepoints(t)
+        if len(c) < k:
+            out.append([])
+            continue
+        h = (sliding_window_view(c, k) @ _POLY_W) % MOD
+        out.append((h * 48271 % MOD * 48271 % MOD).tolist())
     return pd.Series(out)
 
 
