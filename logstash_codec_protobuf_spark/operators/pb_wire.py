@@ -61,10 +61,11 @@ _VARINT_TYPES = {"int32", "int64", "uint32", "uint64", "sint32", "sint64",
 # ---------------------------------------------------------------------------
 
 def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    n = len(buf)
     result = 0
     shift = 0
     while True:
-        if pos >= len(buf) or shift > 63:
+        if pos >= n or shift > 63:
             raise ValueError(WIRE_ERROR)
         b = buf[pos]
         result |= (b & 0x7F) << shift
@@ -148,7 +149,15 @@ def _decode_plan(registry: SchemaRegistry, message: str, proto_version: int
             template[f.name] = enum.default_name if proto_version == 3 else 0
         else:
             template[f.name] = _SCALAR_DEFAULTS[f.type]
-    cache[key] = (by_num, template)
+    # pre-split the template so the per-payload row build is one C-speed
+    # dict() copy plus a short ctor loop (the dictcomp with per-key sentinel
+    # checks showed up in the decode profile). Sentinel positions hold None
+    # in the base so key ORDER survives the overwrite.
+    base = {k: (None if v is list or v is dict else v)
+            for k, v in template.items()}
+    ctors = tuple((k, v) for k, v in template.items()
+                  if v is list or v is dict)
+    cache[key] = (by_num, base, ctors)
     return cache[key]
 
 
@@ -158,38 +167,57 @@ def py_decode(buf: bytes, registry: SchemaRegistry, message: str,
     protobuf.rb:287-336). Raises ValueError(WIRE_ERROR) on malformed input."""
     if depth <= 0:
         raise ValueError(WIRE_ERROR)
-    by_num, template = _decode_plan(registry, message, proto_version)
+    by_num, base, ctors = _decode_plan(registry, message, proto_version)
 
     # proto3 default emission for absent scalars (protobuf.rb:297); list/dict
     # sentinels instantiate fresh containers per row
-    out = {k: (v() if v is list or v is dict else v)
-           for k, v in template.items()}
+    out = dict(base)
+    for _k, _c in ctors:
+        out[_k] = _c()
     chosen: dict[str, str] = {}  # oneof group -> chosen member field
 
     pos = 0
-    while pos < len(buf):
-        tag, pos = read_varint(buf, pos)
+    n = len(buf)
+    while pos < n:
+        # single-byte fast path: tags and small values dominate real
+        # payloads, and the read_varint call was ~25% of decode time
+        b = buf[pos]
+        if b < 0x80:
+            tag = b
+            pos += 1
+        else:
+            tag, pos = read_varint(buf, pos)
         fnum, wt = tag >> 3, tag & 7
         if fnum == 0:
             raise ValueError(WIRE_ERROR)
         if wt == 0:
-            raw, pos = read_varint(buf, pos)
+            b = buf[pos] if pos < n else 0x80
+            if b < 0x80:
+                raw = b
+                pos += 1
+            else:
+                raw, pos = read_varint(buf, pos)
             data = None
         elif wt == 1:
-            if pos + 8 > len(buf):
+            if pos + 8 > n:
                 raise ValueError(WIRE_ERROR)
             data = buf[pos:pos + 8]
             pos += 8
             raw = None
         elif wt == 5:
-            if pos + 4 > len(buf):
+            if pos + 4 > n:
                 raise ValueError(WIRE_ERROR)
             data = buf[pos:pos + 4]
             pos += 4
             raw = None
         elif wt == 2:
-            ln, pos = read_varint(buf, pos)
-            if pos + ln > len(buf):
+            b = buf[pos] if pos < n else 0x80
+            if b < 0x80:
+                ln = b
+                pos += 1
+            else:
+                ln, pos = read_varint(buf, pos)
+            if pos + ln > n:
                 raise ValueError(WIRE_ERROR)
             data = buf[pos:pos + ln]
             pos += ln
