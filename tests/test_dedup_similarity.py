@@ -315,6 +315,57 @@ def test_star_contraction_matches_union_find_on_random_graphs(spark):
         assert got == want, f"trial {trial}: {got} != {want}"
 
 
+def test_fingerprint_kernels_match_reference_on_edge_texts():
+    """The numpy kernels (utf-32 windows, packed-key dedup, matmul poly
+    hash, matrix vote) must equal the obvious per-char reference on edge
+    inputs: non-BMP chars (packed fast path must NOT engage), shorter-than-k
+    strings, repeated shingles, single-shingle texts. Runs the pandas_udf
+    inner functions directly — no Spark session."""
+    import pandas as pd
+
+    from logstash_codec_protobuf_spark.functions.portable import MOD
+    from logstash_codec_protobuf_spark.operators.dedup import (
+        MINHASH_PERMS, MINHASH_SHINGLE_K as K, _minhash_sigs_udf,
+        _shingle_hashes_all_udf, _shingle_hashes_udf, _simhash32_udf)
+
+    def ref_hash(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % MOD
+        return ((acc * 48271 % MOD) * 48271) % MOD
+
+    texts = [
+        "abc",                      # shorter than k -> []
+        "abcd",                     # exactly one shingle
+        "aaaaaaaa",                 # one distinct shingle, 5 occurrences
+        "héllo \U0001F40D wörld \U0001F40D\U0001F40D end",
+        "ab" + chr(0xFFFF) + chr(0xFFFE) + "cdef",  # BMP boundary codepoints
+        "the quick brown fox " * 4,
+    ]
+    s = pd.Series(texts)
+    got_distinct = _shingle_hashes_udf.func(s)
+    got_all = _shingle_hashes_all_udf.func(s)
+    for t, gd, ga in zip(texts, got_distinct, got_all):
+        grams = [t[i:i + K] for i in range(len(t) - K + 1)]
+        assert sorted(ga) == sorted(ref_hash(g) for g in grams)
+        assert sorted(gd) == sorted(
+            ref_hash(g) for g in dict.fromkeys(grams))
+
+    hb = pd.Series([[5, 5, 7], [MOD - 1, 0, 1], [2 ** 30]])
+    votes = _simhash32_udf.func(hb)
+    for hs, v in zip(hb, votes):
+        ref = 0
+        for b in range(32):
+            if 2 * sum((h >> b) & 1 for h in hs) > len(hs):
+                ref |= 1 << b
+        assert int(v) == ref
+    assert int(_simhash32_udf.func(pd.Series([[]]))[0]) == 0
+
+    sigs = _minhash_sigs_udf.func(pd.Series([[3, 99, MOD - 1]]))
+    for (a, b), got in zip(MINHASH_PERMS, sigs[0]):
+        assert got == min((h * a + b) % MOD for h in [3, 99, MOD - 1])
+
+
 def test_farthest_point_seeding_beats_first_k_on_clustered_corpus(spark):
     """Farthest-point seeding must straddle every cluster; first-K seeding on
     a corpus whose first K vectors all sit in ONE cluster collapses the
