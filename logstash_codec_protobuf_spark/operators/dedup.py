@@ -473,6 +473,7 @@ def dedup_clusters_star(docs: DataFrame, pairs: DataFrame | None = None,
         .filter(F.col("u") != F.col("v")).distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()
     rounds = 0
     for _ in range(max_iter):
         sym = edges.union(
@@ -498,11 +499,16 @@ def dedup_clusters_star(docs: DataFrame, pairs: DataFrame | None = None,
             .localCheckpoint(eager=True)
         )
         rounds += 1
+        # fixed-point check: both sets are distinct, so equal counts plus
+        # one-direction containment proves equality — one anti-join per
+        # round instead of two (counts over localCheckpointed partitions
+        # are scans, not shuffles)
+        n_small = small.count()
         converged = (
-            small.subtract(edges).limit(1).count() == 0
-            and edges.subtract(small).limit(1).count() == 0
+            n_small == n_edges
+            and small.subtract(edges).limit(1).count() == 0
         )
-        edges = small
+        edges, n_edges = small, n_small
         if converged:
             break
     if rounds_out is not None:

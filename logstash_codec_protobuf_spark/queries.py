@@ -1721,11 +1721,15 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters -> ONE survivor per cluster, chosen by quality score
     (deterministic tie-break on doc_id) — what a training-data pipeline
     actually keeps. Cluster partitions are near-dup groups (tiny), so the
-    rank window never sees a hot key."""
+    rank window never sees a hot key. Clustering uses star contraction (the
+    O(log n)-round path): replica-chained near-dup graphs reach diameter 16
+    on the 50x docscale corpus, where propagation took 16 shuffle waves /
+    211s vs contraction's 5 / 36s (BENCH/dedup_scale_latest.md); labeling
+    is identical (parity-tested), so the oracle is unchanged."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    clusters = DD.dedup_clusters(docs)
+    clusters = DD.dedup_clusters_star(docs)
     scored = clusters.join(
         docs.select("doc_id",
                     F.expr(TX.quality_score(SPARK)).alias("quality")),
