@@ -166,10 +166,13 @@ from pyspark.sql import types as T  # noqa: E402
 # int64 matmul replaces the Python char loop exactly.
 _POLY_W = np.array([31 ** 3, 31 ** 2, 31, 1], dtype=np.int64)
 # Exact 64-bit pack of a 4-char window when every codepoint is BMP
-# (< 2^16) — turns string-level dedup into a 1-D np.unique. Non-BMP texts
-# fall back to row-wise unique; equality is on the CHARACTERS either way,
-# so hash collisions between distinct shingles are preserved, same as the
-# dict.fromkeys original.
+# (< 2^16) — turns string-level dedup into a 1-D np.unique. The matmul
+# wraps mod 2^64 for lead codepoints >= 0x8000 (numpy int64 overflow is
+# C-style wraparound), but the pack is a BIJECTION window<->64-bit pattern
+# either way, so uniqueness is still exact (pinned by the chr(0xFFFF) edge
+# test). Non-BMP texts fall back to row-wise unique; equality is on the
+# CHARACTERS either way, so hash collisions between distinct shingles are
+# preserved, same as the dict.fromkeys original.
 _PACK_W = np.array([1 << 48, 1 << 32, 1 << 16, 1], dtype=np.int64)
 _BIT_SHIFTS = np.arange(32, dtype=np.int64)
 
