@@ -15,6 +15,12 @@ columnar engine:
                            Default FALSE, matching the reference's default
                            (protobuf.rb:110-116) — queries that assert on the
                            discriminator opt in explicitly.
+- ``pb3_encoder_autoconvert_types`` -> ``encoder_autoconvert_types``: default
+                           TRUE (protobuf.rb:143). False = schema_align treats
+                           mismatched leaves as type errors (null ->
+                           dead-letter / strict raise, protobuf.rb:410-420)
+                           instead of converting; exact-type values still
+                           encode (spec/codecs/pb3_encode_spec.rb:180-207).
 """
 
 from __future__ import annotations
@@ -32,6 +38,10 @@ class CodecConfig:
     proto_version: int = 3
     stop_on_error: bool = False
     set_oneof_metainfo: bool = False  # reference default (protobuf.rb:110-116)
+    # pb3_encoder_autoconvert_types (protobuf.rb:143, reference default TRUE):
+    # False = mismatched-type leaves are type errors (null -> dead-letter /
+    # strict raise), never conversions; exact-type values still encode
+    encoder_autoconvert_types: bool = True
     # explicit shuffle sizing for the routing fan-out (north_rule: explicit
     # repartition before the routing shuffle; sized for the target SF)
     route_partitions: int | None = None

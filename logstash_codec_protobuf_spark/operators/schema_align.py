@@ -31,7 +31,8 @@ _COERCE_TARGET = {
 }
 
 
-def _align_col(col: Column, actual: T.DataType, target: T.DataType) -> Column:
+def _align_col(col: Column, actual: T.DataType, target: T.DataType,
+               autoconvert: bool = True) -> Column:
     if actual == target:
         return col
     if isinstance(target, T.StructType) and isinstance(actual, T.StructType):
@@ -39,7 +40,8 @@ def _align_col(col: Column, actual: T.DataType, target: T.DataType) -> Column:
         for f in target.fields:
             if f.name in actual.fieldNames():
                 inner = _align_col(col[f.name],
-                                   actual[f.name].dataType, f.dataType)
+                                   actual[f.name].dataType, f.dataType,
+                                   autoconvert)
             else:
                 inner = F.lit(None).cast(f.dataType)  # missing -> null field
             fields.append(inner.alias(f.name))
@@ -49,8 +51,16 @@ def _align_col(col: Column, actual: T.DataType, target: T.DataType) -> Column:
         return F.when(col.isNotNull(), F.struct(*fields))
     if isinstance(target, T.ArrayType) and isinstance(actual, T.ArrayType):
         return F.transform(
-            col, lambda x: _align_col(x, actual.elementType, target.elementType)
+            col, lambda x: _align_col(x, actual.elementType,
+                                      target.elementType, autoconvert)
         )
+    if not autoconvert:
+        # pb3_encoder_autoconvert_types=false (protobuf.rb:143,410-420):
+        # a mismatched leaf is a TYPE ERROR, never a conversion — the value
+        # nulls out and the encode stage dead-letters (lenient) or raises
+        # (strict), mirroring the reference's "Protobuf encoding error 2.3:
+        # Type error ... event has been discarded" path.
+        return F.lit(None).cast(target)
     if target in _COERCE_TARGET:
         out = coerce(col, _COERCE_TARGET[target])
         return out.try_cast(target)
@@ -82,15 +92,36 @@ def schema_diff(actual: T.StructType, target: T.StructType,
     return out
 
 
-def align_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
-    """Project df onto `target`, coercing every mismatched leaf."""
-    cols = []
+def align_to_schema(df: DataFrame, target: T.StructType,
+                    autoconvert: bool = True,
+                    discard_unknown: bool = False) -> DataFrame:
+    """Project df onto `target`, coercing every mismatched leaf.
+
+    ``autoconvert=False`` maps ``pb3_encoder_autoconvert_types=false``
+    (protobuf.rb:143): exact-type leaves pass through untouched (the
+    reference still encodes correctly-typed fields with conversion off,
+    spec/codecs/pb3_encode_spec.rb:180-207), mismatched leaves null out as
+    type errors instead of converting.
+
+    ``discard_unknown=True`` maps the reference's additional-field rule
+    (spec case encodePB3-f, pb3_encode_spec.rb:211-237: an event carrying a
+    field absent from the schema is discarded, the pipeline keeps going).
+    Columnar twin: the schema is per-FRAME, not per-event, so an extra
+    column discards the whole frame — returned as an EMPTY frame in the
+    target schema (never an exception), with ``schema_diff`` supplying the
+    dead-letter accounting."""
     actual = df.schema
+    if discard_unknown:
+        extras = [d for d in schema_diff(actual, target)
+                  if d["expected"] is None]
+        if extras:
+            return df.sparkSession.createDataFrame([], target)
+    cols = []
     for f in target.fields:
         if f.name in actual.fieldNames():
             cols.append(
                 _align_col(F.col(f.name), actual[f.name].dataType,
-                           f.dataType).alias(f.name)
+                           f.dataType, autoconvert).alias(f.name)
             )
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))

@@ -85,3 +85,60 @@ def test_cli_end_to_end(spark, tmp_path):
     expected = dict(duck_connection(SF_DIR).execute(EXPECTED_SINK_SQL).fetchall())
     assert landed == expected
     assert result["buckets"] == 4
+
+
+def test_autoconvert_off_is_type_error_not_conversion(spark):
+    """pb3_encoder_autoconvert_types=false (protobuf.rb:143,410-420):
+    exact-type leaves still encode (spec encodePB3-e), mismatched leaves
+    null out as type errors instead of converting — flat and nested."""
+    df = spark.createDataFrame([Row(
+        name="ok",                    # exact string -> passes untouched
+        n="42",                       # string where long expected -> TYPE ERROR
+        inner=Row(count=7, ratio="3.5"),  # exact long + mismatched string
+    )])
+    target = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("inner", T.StructType([
+            T.StructField("count", T.LongType()),
+            T.StructField("ratio", T.DoubleType()),
+        ])),
+    ])
+    strict = align_to_schema(df, target, autoconvert=False).collect()[0]
+    assert strict["name"] == "ok"
+    assert strict["n"] is None                      # no str->int conversion
+    assert strict["inner"]["count"] == 7            # exact type kept
+    assert strict["inner"]["ratio"] is None         # no str->float conversion
+    lenient = align_to_schema(df, target).collect()[0]
+    assert lenient["n"] == 42 and lenient["inner"]["ratio"] == 3.5
+
+
+def test_discard_unknown_field_drops_frame_not_pipeline(spark):
+    """spec encodePB3-f (pb3_encode_spec.rb:211-237): an event carrying a
+    field the schema doesn't know is DISCARDED without crashing. Columnar
+    twin: extra column -> empty frame in the target schema; schema_diff
+    reports the offending key for dead-letter accounting."""
+    target = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ])
+    good = spark.createDataFrame([Row(name="a", n=1)])
+    assert align_to_schema(good, target, discard_unknown=True).count() == 1
+
+    bad = spark.createDataFrame([Row(name="a", n=1, bot="not in schema")])
+    out = align_to_schema(bad, target, discard_unknown=True)
+    assert out.count() == 0
+    assert out.schema == target  # downstream plan keeps working
+    extras = [d for d in schema_diff(bad.schema, target)
+              if d["expected"] is None]
+    assert [d["key"] for d in extras] == ["bot"]
+
+
+def test_config_maps_all_eight_reference_knobs():
+    from logstash_codec_protobuf_spark.config import CodecConfig
+
+    cfg = CodecConfig()
+    assert cfg.encoder_autoconvert_types is True   # protobuf.rb:143 default
+    assert cfg.set_oneof_metainfo is False         # protobuf.rb:110-116 default
+    assert cfg.stop_on_error is False              # protobuf.rb:140 default
+    assert cfg.proto_version == 3
