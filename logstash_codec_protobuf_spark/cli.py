@@ -50,8 +50,11 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--proto-version", type=int, choices=[2, 3], default=3)
     args = p.parse_args(argv)
 
-    from .config import CodecConfig
-    from .plans.pipeline import run_pipeline
+    # absolute imports: under `spark-submit cli.py` the file runs as a
+    # parentless __main__ script (relative imports raise ImportError); the
+    # package itself arrives on sys.path via --py-files engine.zip
+    from logstash_codec_protobuf_spark.config import CodecConfig
+    from logstash_codec_protobuf_spark.plans.pipeline import run_pipeline
 
     cfg = CodecConfig(stop_on_error=args.stop_on_error,
                       proto_version=args.proto_version)

@@ -87,6 +87,31 @@ def test_cli_end_to_end(spark, tmp_path):
     assert result["buckets"] == 4
 
 
+def test_cli_runs_as_parentless_script(tmp_path):
+    """The spark-submit launch shape: `spark-submit cli.py` executes the file
+    as a parentless __main__ (NO package context), which is invisible to the
+    module-import test above — a relative import in main() passed pytest but
+    crashed the real launch. Run the script exactly as spark-submit does."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "script_out")
+    env = {"PYTHONPATH": "/root/repo",
+           "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", "")}
+    r = subprocess.run(
+        [sys.executable, "/root/repo/logstash_codec_protobuf_spark/cli.py",
+         "--sf-dir", SF_DIR, "--out", out, "--buckets", "2",
+         "--wave-size", "2"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json as _json
+
+    result = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert result["buckets"] == 2 and result["rows"] > 0
+
+
 def test_autoconvert_off_is_type_error_not_conversion(spark):
     """pb3_encoder_autoconvert_types=false (protobuf.rb:143,410-420):
     exact-type leaves still encode (spec encodePB3-e), mismatched leaves
