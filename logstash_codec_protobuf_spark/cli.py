@@ -10,7 +10,9 @@ multi-executor cluster. Locally:
 The driver builds the SparkSession (cluster managers inject master/executors);
 everything else is the checkpointed pipeline in plans.pipeline. Re-running
 with the same --out resumes from the manifest without re-parsing completed
-lineage buckets.
+lineage buckets. ``--streaming`` runs the Structured Streaming fan-out twin
+over ``--transcripts-path`` instead (availableNow drain; the streaming
+checkpoint under --out gives exactly-once resume).
 """
 
 from __future__ import annotations
@@ -35,8 +37,9 @@ def build_session(app: str = "transcript-pipeline"):
 
 def main(argv: list[str] | None = None) -> dict:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--sf-dir", required=True,
-                   help="input table directory (events/transcripts parquet)")
+    p.add_argument("--sf-dir", default=None,
+                   help="input table directory (events/transcripts parquet); "
+                        "required in batch mode")
     p.add_argument("--out", required=True, help="output root (sinks + manifest)")
     p.add_argument("--transcripts-path", default=None,
                    help="pre-materialized transcripts parquet (skips derivation)")
@@ -48,6 +51,11 @@ def main(argv: list[str] | None = None) -> dict:
                    help="parse implementation")
     p.add_argument("--stop-on-error", action="store_true")
     p.add_argument("--proto-version", type=int, choices=[2, 3], default=3)
+    p.add_argument("--streaming", action="store_true",
+                   help="run the Structured Streaming fan-out twin over "
+                        "--transcripts-path (availableNow drain; re-running "
+                        "with the same --out resumes from the streaming "
+                        "checkpoint and reprocesses nothing)")
     args = p.parse_args(argv)
 
     # absolute imports: under `spark-submit cli.py` the file runs as a
@@ -63,11 +71,27 @@ def main(argv: list[str] | None = None) -> dict:
     existing = SparkSession.getActiveSession()
     spark = existing or build_session()
     try:
-        result = run_pipeline(
-            spark, args.sf_dir, args.out, cfg,
-            n_buckets=args.buckets, wave_size=args.wave_size, impl=args.impl,
-            transcripts_path=args.transcripts_path,
-        )
+        if args.streaming:
+            if not args.transcripts_path:
+                p.error("--streaming requires --transcripts-path "
+                        "(a transcripts parquet directory to stream from)")
+            from logstash_codec_protobuf_spark.streaming.stream import (
+                run_stream_to_sinks)
+
+            q = run_stream_to_sinks(spark, args.transcripts_path,
+                                    args.out, cfg)
+            q.awaitTermination()
+            rows = spark.read.parquet(f"{args.out}/routed").count()
+            result = {"streaming": True, "rows": int(rows),
+                      "out_dir": args.out}
+        else:
+            if not args.sf_dir:
+                p.error("--sf-dir is required in batch mode")
+            result = run_pipeline(
+                spark, args.sf_dir, args.out, cfg,
+                n_buckets=args.buckets, wave_size=args.wave_size,
+                impl=args.impl, transcripts_path=args.transcripts_path,
+            )
         print(json.dumps(result))
         return result
     finally:

@@ -87,6 +87,28 @@ def test_cli_end_to_end(spark, tmp_path):
     assert result["buckets"] == 4
 
 
+def test_cli_streaming_mode_with_checkpoint_resume(spark, tmp_path):
+    """`cli.py --streaming`: the Structured Streaming fan-out twin behind the
+    same launch contract. A second invocation with the same --out must
+    resume from the streaming checkpoint and reprocess NOTHING (row count
+    unchanged — exactly-once against the same input)."""
+    from logstash_codec_protobuf_spark.sources.transcripts import transcripts_df
+
+    tr = str(tmp_path / "tr")
+    transcripts_df(spark, SF_DIR).write.mode("overwrite").parquet(tr)
+    out = str(tmp_path / "stream_out")
+
+    first = cli_main(["--streaming", "--transcripts-path", tr, "--out", out])
+    assert first["streaming"] is True and first["rows"] > 0
+
+    again = cli_main(["--streaming", "--transcripts-path", tr, "--out", out])
+    assert again["rows"] == first["rows"]  # checkpoint: no reprocessing
+
+    sinks = {r["sink"] for r in
+             spark.read.parquet(f"{out}/routed").select("sink").distinct().collect()}
+    assert sinks  # partitioned-by-sink layout landed
+
+
 def test_cli_runs_as_parentless_script(tmp_path):
     """The spark-submit launch shape: `spark-submit cli.py` executes the file
     as a parentless __main__ (NO package context), which is invisible to the
