@@ -747,20 +747,18 @@ def run_ccrounds(sf_dir: str, sf: str) -> dict:
                    "prop_rounds_needed": n - 1}
             if n == chain_ns[0]:
                 # show, don't tell: propagation capped at prop_cap rounds
-                # still has not merged the chain
-                r_prop: list[int] = []
-                got = [0]
-
-                def _prop():
-                    got[0] = (DD.dedup_clusters(
-                        docs, pairs=pairs, max_iter=prop_cap,
-                        rounds_out=r_prop)
-                        .select("cluster_id").distinct().count())
-
-                t_prop = _timed(_prop)
-                row["prop_capped_rounds"] = r_prop[0]
-                row["prop_capped_sec"] = round(t_prop, 2)
-                row["prop_capped_clusters_left"] = got[0]
+                # cannot merge the chain — since the non-convergence guard
+                # it fails LOUDLY (ValueError) instead of returning partial
+                # labels; the probe records the refusal + wall cost
+                t0p = time.time()
+                try:
+                    DD.dedup_clusters(docs, pairs=pairs,
+                                      max_iter=prop_cap).count()
+                    row["prop_capped_outcome"] = "converged (unexpected)"
+                except ValueError:
+                    row["prop_capped_outcome"] = (
+                        f"raised non-convergence after {prop_cap} rounds")
+                row["prop_capped_sec"] = round(time.time() - t0p, 2)
             report["chains"][n] = row
 
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -783,10 +781,8 @@ def run_ccrounds(sf_dir: str, sf: str) -> dict:
 
     rows = []
     for n, r in report["chains"].items():
-        capped = (f"{r.get('prop_capped_clusters_left', '—')} clusters left "
-                  f"after {r.get('prop_capped_rounds', '—')} rounds / "
-                  f"{r.get('prop_capped_sec', '—')}s"
-                  if "prop_capped_rounds" in r else "—")
+        capped = (f"{r['prop_capped_outcome']} / {r['prop_capped_sec']}s"
+                  if "prop_capped_outcome" in r else "—")
         rows.append(f"| path {n:,} | {r['star_rounds']} | {r['star_sec']} | "
                     f"{r['prop_rounds_needed']} | {capped} |")
     g = report["lsh_graph"]

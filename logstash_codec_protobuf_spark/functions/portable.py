@@ -131,8 +131,13 @@ class Dialect:
         return self.sum_double(prods)
 
     def cosine(self, a: str, b: str) -> str:
+        # nullif guard: a zero-norm vector makes the denominator 0.0, which
+        # ANSI-mode Spark raises on (DIVIDE_BY_ZERO) and IEEE would NaN —
+        # both engines instead yield NULL, which DESC ordering puts LAST in
+        # Spark and DuckDB alike ("undefined similarity is never a top hit")
         return (f"({self.dot(a, b)}) / "
-                f"(sqrt({self.dot(a, a)}) * sqrt({self.dot(b, b)}))")
+                f"nullif(sqrt({self.dot(a, a)}) * sqrt({self.dot(b, b)})"
+                f", CAST(0.0 AS DOUBLE))")
 
     def minhash_term(self, hashes: str, a: int, b: int) -> str:
         """min over tokens of (a*H + b) mod p — one permutation."""

@@ -175,10 +175,14 @@ _POLY_W = np.array([31 ** 3, 31 ** 2, 31, 1], dtype=np.int64)
 # preserved, same as the dict.fromkeys original.
 _PACK_W = np.array([1 << 48, 1 << 32, 1 << 16, 1], dtype=np.int64)
 _BIT_SHIFTS = np.arange(32, dtype=np.int64)
+_PERM_A = np.array([a for a, _ in MINHASH_PERMS], dtype=np.int64)
+_PERM_B = np.array([b for _, b in MINHASH_PERMS], dtype=np.int64)
 
 
 def _codepoints(t: str) -> "np.ndarray":
-    return np.frombuffer(t.encode("utf-32-le"),
+    # surrogatepass: lone surrogates (e.g. surrogateescape-decoded dirty
+    # bytes) must hash like the ord() loop did, not crash the Arrow batch
+    return np.frombuffer(t.encode("utf-32-le", "surrogatepass"),
                          dtype=np.uint32).astype(np.int64)
 
 
@@ -229,13 +233,11 @@ def _minhash_sigs_udf(hb: pd.Series) -> pd.Series:
     """16 permutation minima per basis array — exact int64 arithmetic
     (hash < 2^31, multiplier < 2^17 -> products < 2^48), identical to the
     SQL minhash_term template."""
-    A = np.array([a for a, _ in MINHASH_PERMS], dtype=np.int64)
-    B = np.array([b for _, b in MINHASH_PERMS], dtype=np.int64)
     out = []
     for hs in hb:
         arr = np.asarray(hs, dtype=np.int64)
         # one (n,16) matrix per row instead of 16 tiny passes
-        out.append(((arr[:, None] * A + B) % MOD).min(0).tolist())
+        out.append(((arr[:, None] * _PERM_A + _PERM_B) % MOD).min(0).tolist())
     return pd.Series(out)
 
 
@@ -410,6 +412,13 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
         rounds += 1
         if changed == 0:
             break
+    else:
+        # exhausted max_iter with labels still moving: a partial labeling
+        # splits components silently — fail loudly instead (deep graphs
+        # should use dedup_clusters_star, whose rounds are O(log n))
+        raise ValueError(
+            f"min-label propagation did not converge in {max_iter} rounds "
+            f"(rounds = component diameter; use dedup_clusters_star)")
     if rounds_out is not None:
         rounds_out.append(rounds)
     return labels.select(
@@ -440,7 +449,7 @@ FROM reach GROUP BY node
 
 
 def dedup_clusters_star(docs: DataFrame, pairs: DataFrame | None = None,
-                        max_iter: int = 25,
+                        max_iter: int = 100,
                         rounds_out: list[int] | None = None) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction — the O(log n)-round scale path that `dedup_clusters`'s
@@ -478,7 +487,10 @@ def dedup_clusters_star(docs: DataFrame, pairs: DataFrame | None = None,
     )
     n_edges = edges.count()
     rounds = 0
+    converged = n_edges == 0
     for _ in range(max_iter):
+        if converged:
+            break
         sym = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = (sym.groupBy("u").agg(F.min("v").alias("mn"))
@@ -514,6 +526,12 @@ def dedup_clusters_star(docs: DataFrame, pairs: DataFrame | None = None,
         edges, n_edges = small, n_small
         if converged:
             break
+    if not converged:
+        # the final star labeling is only valid on a CONVERGED graph —
+        # partial contraction would silently split components
+        raise ValueError(
+            f"star contraction did not converge in {max_iter} rounds "
+            f"(rounds grow ~2*log2(n); raise max_iter)")
     if rounds_out is not None:
         rounds_out.append(rounds)
     sym = edges.union(

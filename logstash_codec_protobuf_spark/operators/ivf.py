@@ -51,8 +51,8 @@ def ivf_assign(emb: DataFrame, k: int = N_CENTROIDS) -> DataFrame:
     )
     scored = e.join(F.broadcast(c)).select(
         "vec_id", "centroid_id",
-        (SIM_pair_dot("embedding", "cv") / (F.col("nrm") * F.col("c_nrm")))
-        .alias("_s"),
+        F.try_divide(SIM_pair_dot("embedding", "cv"),
+                     F.col("nrm") * F.col("c_nrm")).alias("_s"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("_s"), F.asc("centroid_id"))
     return (
@@ -71,7 +71,7 @@ def ivf_assign_oracle(k: int = N_CENTROIDS) -> str:
     return f"""
 WITH scored AS (
   SELECT e.vec_id, c.vec_id AS centroid_id,
-         ({cos}) / (({nrm_e}) * ({nrm_c})) AS s
+         ({cos}) / nullif(({nrm_e}) * ({nrm_c}), CAST(0.0 AS DOUBLE)) AS s
   FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {k}) c
 ), ranked AS (
   SELECT vec_id, centroid_id, s,
@@ -112,8 +112,8 @@ def ivf_seed_farthest(emb: DataFrame, k: int = N_CENTROIDS) -> DataFrame:
             .join(F.broadcast(s))
             .select(
                 "vec_id",
-                (SIM_pair_dot("embedding", "cv")
-                 / (F.col("nrm") * F.col("c_nrm"))).alias("_s"),
+                F.try_divide(SIM_pair_dot("embedding", "cv"),
+                             F.col("nrm") * F.col("c_nrm")).alias("_s"),
             )
             .groupBy("vec_id").agg(F.max("_s").alias("maxs"))
             .orderBy(F.asc("maxs"), F.asc("vec_id"))
@@ -150,7 +150,7 @@ def ivf_seed_farthest_oracle(k: int = N_CENTROIDS) -> str:
 ),
 m1 AS MATERIALIZED (
   SELECT v.vec_id, v.embedding,
-         ({cos_v0}) / (({nv}) * ({ns0})) AS maxs
+         ({cos_v0}) / nullif(({nv}) * ({ns0}), CAST(0.0 AS DOUBLE)) AS maxs
   FROM e v CROSS JOIN (SELECT embedding FROM e WHERE vec_id = 0) s0
   WHERE v.vec_id <> 0
 )"""]
@@ -164,7 +164,7 @@ win{i} AS MATERIALIZED (
             parts.append(f""",
 m{i + 1} AS MATERIALIZED (
   SELECT v.vec_id, v.embedding,
-         GREATEST(v.maxs, ({cos_vw}) / (({nv}) * ({nw}))) AS maxs
+         GREATEST(v.maxs, ({cos_vw}) / nullif(({nv}) * ({nw}), CAST(0.0 AS DOUBLE))) AS maxs
   FROM m{i} v CROSS JOIN win{i} w
   WHERE v.vec_id <> w.vec_id
 )""")
@@ -199,8 +199,8 @@ def ivf_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
     )
     cscore = e.join(F.broadcast(c)).select(
         "vec_id", "centroid_id",
-        (SIM_pair_dot("embedding", "cv") / (F.col("nrm") * F.col("c_nrm")))
-        .alias("_s"),
+        F.try_divide(SIM_pair_dot("embedding", "cv"),
+                     F.col("nrm") * F.col("c_nrm")).alias("_s"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("_s"), F.asc("centroid_id"))
     ranked = cscore.withColumn("_rn", F.row_number().over(w))
@@ -222,8 +222,9 @@ def ivf_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
             .join(q, "query_id")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id",
-                    (SIM_pair_dot("qv", "cv")
-                     / (F.col("q_nrm") * F.col("n_nrm"))).alias("_s")))
+                    F.try_divide(SIM_pair_dot("qv", "cv"),
+                                 F.col("q_nrm") * F.col("n_nrm"))
+                    .alias("_s")))
     wq = Window.partitionBy("query_id").orderBy(F.desc("_s"),
                                                 F.asc("neighbor_id"))
     return (
@@ -246,7 +247,7 @@ def ivf_topk_oracle(n_queries: int = 8, k: int = 5,
     return f"""
 WITH cscore AS (
   SELECT e.vec_id, c.vec_id AS centroid_id,
-         ({cos_ec}) / (({nrm_e}) * ({nrm_c})) AS s
+         ({cos_ec}) / nullif(({nrm_e}) * ({nrm_c}), CAST(0.0 AS DOUBLE)) AS s
   FROM embeddings e
   CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {n_centroids}) c
 ), ranked AS (
@@ -261,7 +262,7 @@ WITH cscore AS (
   WHERE rn <= {n_probe} AND vec_id < {n_queries}
 ), cand AS (
   SELECT p.query_id, l.vec_id AS neighbor_id,
-         ({cos_qn}) / (({nrm_q}) * ({nrm_n})) AS s
+         ({cos_qn}) / nullif(({nrm_q}) * ({nrm_n}), CAST(0.0 AS DOUBLE)) AS s
   FROM probes p
   JOIN lists l ON l.centroid_id = p.centroid_id
   JOIN embeddings n ON n.vec_id = l.vec_id
@@ -298,8 +299,8 @@ def ivf_refine(emb: DataFrame, k: int = N_CENTROIDS,
         )
         scored = e.join(F.broadcast(c)).select(
             "vec_id", "embedding", "centroid_id",
-            (SIM_pair_dot("embedding", "cv")
-             / (F.col("nrm") * F.col("c_nrm"))).alias("_s"),
+            F.try_divide(SIM_pair_dot("embedding", "cv"),
+                         F.col("nrm") * F.col("c_nrm")).alias("_s"),
         )
         w = Window.partitionBy("vec_id").orderBy(F.desc("_s"),
                                                  F.asc("centroid_id"))
@@ -345,8 +346,8 @@ def ivf_refine_assign(emb: DataFrame, k: int = N_CENTROIDS,
         c = cents.withColumn("c_nrm", F.expr(f"sqrt({d.dot('cv', 'cv')})"))
         scored = e.join(F.broadcast(c)).select(
             "vec_id", "embedding", "centroid_id",
-            (SIM_pair_dot("embedding", "cv")
-             / (F.col("nrm") * F.col("c_nrm"))).alias("_s"),
+            F.try_divide(SIM_pair_dot("embedding", "cv"),
+                         F.col("nrm") * F.col("c_nrm")).alias("_s"),
         )
         w = Window.partitionBy("vec_id").orderBy(F.desc("_s"),
                                                  F.asc("centroid_id"))
@@ -394,7 +395,7 @@ def ivf_refine_assign_oracle(k: int = N_CENTROIDS, dim: int = 64) -> str:
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
 s0 AS (
   SELECT e.vec_id, c.vec_id AS centroid_id,
-         ({cos0}) / (({nrm_e}) * ({nrm_c0})) AS s
+         ({cos0}) / nullif(({nrm_e}) * ({nrm_c0}), CAST(0.0 AS DOUBLE)) AS s
   FROM e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {k}) c
 ), a0 AS (
   SELECT vec_id, centroid_id FROM (
@@ -418,7 +419,7 @@ s0 AS (
   SELECT centroid_id, list(m ORDER BY dim) AS cv FROM means GROUP BY 1
 ), s1 AS (
   SELECT e.vec_id, c.centroid_id,
-         ({cos1}) / (({nrm_e}) * ({nrm_c1})) AS s
+         ({cos1}) / nullif(({nrm_e}) * ({nrm_c1}), CAST(0.0 AS DOUBLE)) AS s
   FROM e CROSS JOIN cents c
 )
 SELECT vec_id, centroid_id, {d.trunc6('s')} AS score FROM (

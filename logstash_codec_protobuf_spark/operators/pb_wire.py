@@ -122,11 +122,12 @@ def _typed_varint(v: int, ftype: str, registry: SchemaRegistry,
 
 
 def _decode_plan(registry: SchemaRegistry, message: str, proto_version: int
-                 ) -> tuple[dict, dict]:
-    """(field_number->spec, defaults template) for one message. Built once per
-    (registry, message) and cached on the registry object — rebuilding the
-    number map and the proto3 defaults per PAYLOAD dominated the Arrow-batch
-    decode cost (string-prefix checks + enum lookups per row)."""
+                 ) -> tuple[dict, dict, tuple]:
+    """(field_number->spec, scalar-defaults base dict, container-ctor items)
+    for one message. Built once per (registry, message) and cached on the
+    registry object — rebuilding the number map and the proto3 defaults per
+    PAYLOAD dominated the Arrow-batch decode cost (string-prefix checks +
+    enum lookups per row)."""
     cache = getattr(registry, "_wire_plans", None)
     if cache is None:
         cache = {}

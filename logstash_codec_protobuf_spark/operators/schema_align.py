@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
+from ..config import CodecConfig
 from .encode import coerce
 
 _COERCE_TARGET = {
@@ -93,9 +94,15 @@ def schema_diff(actual: T.StructType, target: T.StructType,
 
 
 def align_to_schema(df: DataFrame, target: T.StructType,
-                    autoconvert: bool = True,
-                    discard_unknown: bool = False) -> DataFrame:
+                    autoconvert: bool | None = None,
+                    discard_unknown: bool = False,
+                    cfg: "CodecConfig | None" = None) -> DataFrame:
     """Project df onto `target`, coercing every mismatched leaf.
+
+    ``cfg`` wires the codec knob: when ``autoconvert`` is not given
+    explicitly it comes from ``cfg.encoder_autoconvert_types`` (reference
+    default TRUE, protobuf.rb:143) — passing a CodecConfig is how the
+    pipeline-level toggle reaches this operator.
 
     ``autoconvert=False`` maps ``pb3_encoder_autoconvert_types=false``
     (protobuf.rb:143): exact-type leaves pass through untouched (the
@@ -110,6 +117,8 @@ def align_to_schema(df: DataFrame, target: T.StructType,
     column discards the whole frame — returned as an EMPTY frame in the
     target schema (never an exception), with ``schema_diff`` supplying the
     dead-letter accounting."""
+    if autoconvert is None:
+        autoconvert = cfg.encoder_autoconvert_types if cfg is not None else True
     actual = df.schema
     if discard_unknown:
         extras = [d for d in schema_diff(actual, target)

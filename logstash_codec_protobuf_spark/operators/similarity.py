@@ -67,13 +67,22 @@ def _local_topk(k: int):
     """Per-Arrow-batch partial top-k under the FINAL total order
     (score desc, neighbor_id asc): every global top-k row is top-k within
     its own batch, so keeping k per (query, batch) is a lossless reduction —
-    the map-side combine the q-key window cannot do for itself."""
+    the map-side combine the q-key window cannot do for itself.
+
+    NULL alignment: a zero-norm vector scores NULL (try_divide), which
+    Spark's `ORDER BY score DESC` puts LAST; pandas sees NULL as NaN, whose
+    native sort position is type-dependent — so the sort runs on a
+    -inf-filled key to pin NULLs last exactly like the window will."""
+    import numpy as np
+
     def fn(batches):
         for pdf in batches:
             if len(pdf):
-                pdf = pdf.sort_values(["query_id", "score", "neighbor_id"],
-                                      ascending=[True, False, True])
-                yield pdf.groupby("query_id", sort=False).head(k)
+                pdf = (pdf.assign(_sk=pdf["score"].fillna(-np.inf))
+                       .sort_values(["query_id", "_sk", "neighbor_id"],
+                                    ascending=[True, False, True]))
+                yield (pdf.groupby("query_id", sort=False).head(k)
+                       .drop(columns="_sk"))
     return fn
 
 
@@ -100,7 +109,8 @@ def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                (pair_dot("qv", "cv") / (F.col("q_nrm") * F.col("c_nrm")))
+                F.try_divide(pair_dot("qv", "cv"),
+                             F.col("q_nrm") * F.col("c_nrm"))
                 .alias("score"))
     )
     reduced = scored.mapInPandas(_local_topk(k), schema=scored.schema)
@@ -180,7 +190,9 @@ def neardup_pairs(emb: DataFrame, threshold: float = 0.9,
                 "a_nrm", "b_nrm")
     )
     pairs = cache.track(pairs)
-    score = F.expr(d.trunc6("dp / (a_nrm * b_nrm)"))
+    # try_divide: zero-norm vector -> NULL score (never ANSI DIVIDE_BY_ZERO),
+    # filtered by the threshold predicate — same as the oracle's nullif guard
+    score = F.expr(d.trunc6("try_divide(dp, a_nrm * b_nrm)"))
     return (
         pairs.select("a_id", "b_id", score.alias("score"))
         .filter(F.col("score") >= threshold)
@@ -267,7 +279,8 @@ def lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                (pair_dot("qv", "cv") / (F.col("q_nrm") * F.col("c_nrm")))
+                F.try_divide(pair_dot("qv", "cv"),
+                             F.col("q_nrm") * F.col("c_nrm"))
                 .alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))

@@ -315,6 +315,43 @@ def test_star_contraction_matches_union_find_on_random_graphs(spark):
         assert got == want, f"trial {trial}: {got} != {want}"
 
 
+def test_cluster_resolution_raises_on_non_convergence(spark):
+    """An exhausted iteration cap must FAIL LOUDLY, never return a partial
+    labeling — partial labels silently split components."""
+    import pytest
+
+    n = 24
+    docs = spark.createDataFrame([(i, "x") for i in range(n)],
+                                 "doc_id long, text string")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "a_id long, b_id long")
+    with pytest.raises(ValueError, match="did not converge"):
+        DD.dedup_clusters(docs, pairs=chain, max_iter=3).collect()
+    with pytest.raises(ValueError, match="did not converge"):
+        DD.dedup_clusters_star(docs, pairs=chain, max_iter=2).collect()
+    # empty pair graph: converged before round one, all singletons
+    empty = spark.createDataFrame([], "a_id long, b_id long")
+    out = DD.dedup_clusters_star(docs, pairs=empty, max_iter=1).collect()
+    assert all(r["is_canonical"] for r in out) and len(out) == n
+
+
+def test_cosine_topk_zero_norm_vector_is_null_scored_never_a_crash(spark):
+    """A zero-norm corpus vector makes the cosine denominator 0.0 — under
+    ANSI mode a plain division KILLS the job (DIVIDE_BY_ZERO). The contract:
+    try_divide -> NULL score, ordered LAST by the window (an undefined
+    similarity is never a top hit), identical in the oracle's nullif guard
+    and in the pandas partial top-k's -inf-filled sort key."""
+    rows = [(i, [float(i + 1)] * 4) for i in range(8)]
+    rows.append((8, [0.0] * 4))  # zero norm
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.cosine_topk(emb, n_queries=2, k=3).collect()  # must not raise
+    assert len(out) == 6  # k rows per query, ranks contiguous
+    assert all(r["neighbor_id"] != 8 for r in out)  # NULL score ranks last
+    # and the bucketed near-dup path survives a zero vector too
+    nd = SIM.neardup_pairs(emb, threshold=0.5).collect()
+    assert all(8 not in (r["a_id"], r["b_id"]) for r in nd)
+
+
 def test_fingerprint_kernels_match_reference_on_edge_texts():
     """The numpy kernels (utf-32 windows, packed-key dedup, matmul poly
     hash, matrix vote) must equal the obvious per-char reference on edge

@@ -189,3 +189,20 @@ def test_config_maps_all_eight_reference_knobs():
     assert cfg.set_oneof_metainfo is False         # protobuf.rb:110-116 default
     assert cfg.stop_on_error is False              # protobuf.rb:140 default
     assert cfg.proto_version == 3
+
+
+def test_autoconvert_knob_flows_from_codec_config(spark):
+    """CodecConfig.encoder_autoconvert_types must actually govern alignment
+    when passed — the knob is the pipeline-level entry point for the
+    reference's pb3_encoder_autoconvert_types toggle."""
+    from logstash_codec_protobuf_spark.config import CodecConfig
+
+    df = spark.createDataFrame([Row(n="42")])
+    target = T.StructType([T.StructField("n", T.LongType())])
+    strict_cfg = CodecConfig(encoder_autoconvert_types=False)
+    assert align_to_schema(df, target, cfg=strict_cfg).collect()[0]["n"] is None
+    assert align_to_schema(df, target,
+                           cfg=CodecConfig()).collect()[0]["n"] == 42
+    # explicit arg wins over cfg
+    assert align_to_schema(df, target, autoconvert=True,
+                           cfg=strict_cfg).collect()[0]["n"] == 42
