@@ -116,10 +116,15 @@ def ivf_seed_farthest(emb: DataFrame, k: int = N_CENTROIDS) -> DataFrame:
                              F.col("nrm") * F.col("c_nrm")).alias("_s"),
             )
             .groupBy("vec_id").agg(F.max("_s").alias("maxs"))
-            .orderBy(F.asc("maxs"), F.asc("vec_id"))
+            # NULLS LAST to mirror DuckDB's ORDER BY default: a zero-norm
+            # vector (NULL maxs via try_divide) must be the LAST resort seed
+            # in both engines, not Spark's asc-nulls-first winner
+            .orderBy(F.asc_nulls_last("maxs"), F.asc("vec_id"))
             .first()
         )
-        chosen.append((i, int(win["vec_id"]), float(win["maxs"])))
+        maxs = win["maxs"]
+        chosen.append((i, int(win["vec_id"]),
+                       None if maxs is None else float(maxs)))
     out = spark.createDataFrame(
         chosen, "rank int, vec_id bigint, minmax_sim double")
     return out.select(

@@ -447,3 +447,35 @@ def test_farthest_point_seeding_beats_first_k_on_clustered_corpus(spark):
     # farthest seeds must cover all 4 clusters
     clusters = {order[v] for v in far}
     assert clusters == {0, 1, 2, 3}, (far, clusters)
+
+
+def test_seed_farthest_zero_norm_vector_is_last_resort_never_a_crash(spark):
+    """ADVICE r4: a zero-norm vector scores NULL maxs via try_divide. Spark's
+    F.asc is NULLS FIRST while DuckDB's ORDER BY ASC is NULLS LAST — without
+    asc_nulls_last the Spark side would seed the degenerate vector FIRST and
+    then crash at float(None). Contract: the zero-norm vector is chosen only
+    when every finite-similarity vector is exhausted, with NULL minmax_sim,
+    identically in both engines."""
+    import duckdb
+    import pandas as pd
+
+    from logstash_codec_protobuf_spark.operators import ivf as IVF
+
+    rows = [(i, [float(i + 1), float(2 * i + 1), 1.0]) for i in range(4)]
+    rows.append((4, [0.0, 0.0, 0.0]))  # zero norm -> NULL cosine everywhere
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["rank"]: r for r in
+           IVF.ivf_seed_farthest(emb, k=5).collect()}  # must not raise
+    assert len(out) == 5
+    assert out[4]["vec_id"] == 4 and out[4]["minmax_sim"] is None
+    assert all(out[r]["vec_id"] != 4 for r in range(4))
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]})
+    con.register("embeddings", pdf)
+    o_rows = con.execute(IVF.ivf_seed_farthest_oracle(k=5)).fetchall()
+    o = {r[0]: r for r in o_rows}
+    s = {r["rank"]: (r["rank"], r["vec_id"], r["minmax_sim"]) for r in
+         IVF.ivf_seed_farthest(emb, k=5).collect()}
+    assert s == o, (s, o)
