@@ -40,6 +40,16 @@ MINHASH_PERMS = [
 N_BANDS = 4
 ROWS_PER_BAND = 4
 
+# All-pairs emission guard (round-4 verdict item 2): a bucket of n identical
+# or boilerplate docs emits n(n-1)/2 candidate pairs — at a million-copy
+# crawl page that is a job-killer. Buckets larger than this are EXCLUDED
+# from pairwise emission, with loud logged accounting (never a silent cap);
+# the clustering consumer uses minhash_star_edges instead, which emits O(n)
+# per bucket and needs no cap at all.
+LSH_MAX_BUCKET = 1024
+
+_LOG = __import__("logging").getLogger(__name__)
+
 
 def exact_keys(d: Dialect, text: str = "text") -> str:
     return f"md5({text})"
@@ -113,13 +123,7 @@ def ngram_jaccard_oracle(threshold: float = 0.5, k: int = 3) -> str:
           f"- len(list_intersect(a.shingles, b.shingles))) * 1000000) "
           f"/ 1000000")
     return f"""
-WITH bands AS ({minhash_bands_oracle()}),
-cand AS (
-  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-  FROM bands x JOIN bands y
-    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-   AND x.doc_id < y.doc_id
-),
+WITH cand AS ({minhash_pairs_oracle()}),
 sh AS (SELECT doc_id, {sh} AS shingles FROM documents)
 SELECT c.a_id, c.b_id, {ja} AS jaccard
 FROM cand c
@@ -264,24 +268,53 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
              F.col("band.band_key").alias("band_key"))
 
 
-def minhash_bands_oracle() -> str:
+def minhash_bands_oracle(source: str = "documents") -> str:
+    """``source`` is any (doc_id, text)-shaped relation — the star-edge
+    oracle feeds the exact-dedup representatives through the same banding."""
     d = DUCK
     bands = _band_exprs(d)
     selects = [
         f"SELECT doc_id, {i} AS band_idx, {b} AS band_key FROM _hb_basis"
         for i, b in enumerate(bands)
     ]
-    basis = f"SELECT doc_id, {_shingle_hashes(d)} AS _hb FROM documents"
+    basis = f"SELECT doc_id, {_shingle_hashes(d)} AS _hb FROM {source}"
     return (f"WITH _hb_basis AS ({basis})\n"
             + "\nUNION ALL\n".join(selects))
 
 
-def minhash_pairs(docs: DataFrame) -> DataFrame:
+def _guard_oversize_buckets(bucketed: DataFrame, keys: list[str],
+                            max_bucket: int, what: str) -> DataFrame:
+    """Drop bucket keys whose membership exceeds ``max_bucket`` from pairwise
+    emission, LOUDLY: the oversize key set is computed eagerly (the bucket
+    frame is already cache-tracked, so this probe is the pass that builds the
+    cache the candidate join reuses) and logged with bucket/doc counts. The
+    exclusion is a left_anti against the tiny oversize-key frame — no extra
+    shuffle on the big side (AQE broadcasts it); the per-bucket groupBy is
+    the same shuffle key the candidate join uses."""
+    sizes = bucketed.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
+    over = sizes.filter(F.col("_bn") > max_bucket)
+    stats = over.agg(F.count(F.lit(1)).alias("b"),
+                     F.sum("_bn").alias("d")).first()
+    if stats["b"]:
+        _LOG.warning(
+            "%s: %d bucket(s) over max_bucket=%d (%d docs) excluded from "
+            "pairwise emission — route them through star edges / exact dedup",
+            what, stats["b"], max_bucket, stats["d"])
+    return bucketed.join(over.select(*keys), keys, "left_anti")
+
+
+def minhash_pairs(docs: DataFrame,
+                  max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket. The band
     frame is persisted — both self-join sides would otherwise recompute the
-    16-permutation signatures."""
+    16-permutation signatures. Buckets larger than ``max_bucket`` are
+    excluded from the all-pairs join with logged accounting (see
+    LSH_MAX_BUCKET) — the identical-boilerplate pathology belongs to
+    dedup_exact + minhash_star_edges, not to an O(n^2) pair join."""
     bands = cache.track(minhash_bands(docs))
-    a, b = bands.alias("a"), bands.alias("b")
+    ok = _guard_oversize_buckets(bands, ["band_idx", "band_key"],
+                                 max_bucket, "minhash_pairs")
+    a, b = ok.alias("a"), ok.alias("b")
     return (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                & (F.col("a.band_key") == F.col("b.band_key"))
@@ -291,13 +324,84 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_pairs_oracle() -> str:
+def minhash_pairs_oracle(max_bucket: int = LSH_MAX_BUCKET) -> str:
     return f"""
-WITH bands AS ({minhash_bands_oracle()})
+WITH bands AS ({minhash_bands_oracle()}),
+bsz AS (
+  SELECT band_idx, band_key FROM bands
+  GROUP BY band_idx, band_key HAVING count(*) <= {max_bucket}
+),
+ok AS (
+  SELECT b.* FROM bands b JOIN bsz USING (band_idx, band_key)
+)
 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-FROM bands a JOIN bands b
+FROM ok a JOIN ok b
   ON a.band_idx = b.band_idx AND a.band_key = b.band_key
  AND a.doc_id < b.doc_id
+"""
+
+
+def minhash_star_edges(docs: DataFrame) -> DataFrame:
+    """Candidate edges for the CLUSTERING consumer, O(bucket) per bucket:
+    every doc links to the MIN doc_id of each of its LSH band buckets —
+    a star per bucket instead of all pairs. Connected components over these
+    edges equal components over the all-pairs candidate graph (every bucket
+    member reaches every other through the bucket min), so cluster labels
+    are IDENTICAL while a million-copy bucket emits 10^6 rows, not 10^11.
+
+    Composes with exact dedup as the first tier: only one representative per
+    distinct content (min doc_id of the md5 group) enters banding at all —
+    identical docs attach to their representative by direct (rep, doc)
+    edges. Identical text produces identical signatures, so pruning exact
+    copies provably changes no component. This removes the identical-
+    boilerplate pathology from the LSH stage entirely and shrinks the
+    banding input to |distinct contents|; no bucket cap is needed on this
+    path (output is linear in bucket size by construction)."""
+    h = docs.select("doc_id", F.md5("text").alias("_h"), "text")
+    reps = h.groupBy("_h").agg(F.min("doc_id").alias("rep"))
+    withrep = h.join(reps, "_h")
+    exact_edges = (
+        withrep.filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("a_id"), F.col("doc_id").alias("b_id"))
+    )
+    rep_docs = withrep.filter(F.col("doc_id") == F.col("rep")) \
+                      .select("doc_id", "text")
+    bands = cache.track(minhash_bands(rep_docs))
+    bmin = bands.groupBy("band_idx", "band_key") \
+                .agg(F.min("doc_id").alias("mn"))
+    star_edges = (
+        bands.join(bmin, ["band_idx", "band_key"])
+        .filter(F.col("doc_id") != F.col("mn"))
+        .select(F.col("mn").alias("a_id"), F.col("doc_id").alias("b_id"))
+    )
+    return exact_edges.union(star_edges).distinct()
+
+
+def minhash_star_edges_oracle() -> str:
+    return f"""
+WITH g AS (
+  SELECT md5(text) AS _h, MIN(doc_id) AS rep FROM documents GROUP BY md5(text)
+),
+withrep AS (
+  SELECT d.doc_id, d.text, g.rep FROM documents d JOIN g ON md5(d.text) = g._h
+),
+exact_edges AS (
+  SELECT rep AS a_id, doc_id AS b_id FROM withrep WHERE doc_id <> rep
+),
+bands AS ({minhash_bands_oracle("(SELECT doc_id, text FROM withrep "
+                                "WHERE doc_id = rep)")}),
+bmin AS (
+  SELECT band_idx, band_key, MIN(doc_id) AS mn FROM bands
+  GROUP BY band_idx, band_key
+),
+star_edges AS (
+  SELECT m.mn AS a_id, b.doc_id AS b_id
+  FROM bands b JOIN bmin m USING (band_idx, band_key)
+  WHERE b.doc_id <> m.mn
+)
+SELECT DISTINCT a_id, b_id FROM (
+  SELECT * FROM exact_edges UNION ALL SELECT * FROM star_edges
+)
 """
 
 
@@ -477,9 +581,14 @@ def dedup_clusters_star(docs: DataFrame, pairs: DataFrame | None = None,
     real cluster: ``checkpoint()`` to reliable storage).
 
     Output contract is identical to `dedup_clusters`:
-    (doc_id, cluster_id, is_canonical) for EVERY doc."""
+    (doc_id, cluster_id, is_canonical) for EVERY doc.
+
+    Default edges are ``minhash_star_edges`` (round-4 verdict item 2): the
+    O(bucket)-output candidate graph with exact-dedup pre-contraction —
+    component-identical to the all-pairs candidate graph, immune to the
+    identical-boilerplate bucket blowup, and cap-free."""
     if pairs is None:
-        pairs = minhash_pairs(docs)
+        pairs = minhash_star_edges(docs)
     edges = (
         pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
         .filter(F.col("u") != F.col("v")).distinct()
@@ -551,6 +660,29 @@ def dedup_clusters_star(docs: DataFrame, pairs: DataFrame | None = None,
     )
 
 
+def dedup_clusters_star_oracle() -> str:
+    """Recursive-CTE twin over the STAR-EDGE candidate graph (exact-dedup
+    pre-contraction + per-bucket star edges). Self-consistent at any scale:
+    the star graph is cap-free, so no bucket-guard clause appears here —
+    components equal the uncapped all-pairs graph's by construction."""
+    return f"""
+WITH RECURSIVE pairs AS ({minhash_star_edges_oracle()}),
+edges AS (
+  SELECT a_id AS s, b_id AS t FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.t, reach.r FROM edges e JOIN reach ON e.s = reach.node
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id,
+       node = MIN(r) AS is_canonical
+FROM reach GROUP BY node
+"""
+
+
 def _shingle_hashes_all(d: Dialect) -> str:
     """Frequency-PRESERVING (non-distinct) shingle-hash multiset — the
     weighted-SimHash basis: every occurrence votes, so each shingle's weight
@@ -617,15 +749,18 @@ def _simhash_block_bounds(max_hamming: int) -> list[tuple[int, int]]:
     return bounds
 
 
-def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
+def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 1,
+                          max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance (bit_count(xor) <= r).
 
     Candidates come from pigeonhole banding (see _simhash_block_bounds): each
     doc lands in r+1 block buckets, candidate pairs share any (block_idx,
     block_val) bucket, exact hamming verifies. Cost O(n * (r+1)) bucket rows +
-    a high-cardinality equi-join — never all-pairs. Deterministic integer
-    arithmetic end to end, so the DuckDB oracle (simhash_neardup_oracle) is
-    exact."""
+    a high-cardinality equi-join — never all-pairs. Blocks larger than
+    ``max_bucket`` are excluded from pairwise emission with logged
+    accounting (identical fingerprints — boilerplate — belong to exact
+    dedup, not an O(n^2) join). Deterministic integer arithmetic end to end,
+    so the DuckDB oracle (simhash_neardup_oracle) is exact."""
     items = ", ".join(
         f"named_struct('block_idx', {i}, 'block_val', "
         f"CAST(simhash32 div {1 << lo} AS BIGINT) % {1 << w})"
@@ -635,13 +770,15 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
     # join sides recompute the (expensive) 32-bit vote over every shingle —
     # measured 26x slower. At warehouse scale this persist is a fingerprint
     # table write; here Spark's cache serves the same plan role.
-    blk = cache.track(simhash(docs)).select(
+    blk = cache.track(simhash(docs).select(
         "doc_id", "simhash32",
         F.expr(f"explode(array({items})) AS block"),
     ).select("doc_id", "simhash32",
              F.col("block.block_idx").alias("block_idx"),
-             F.col("block.block_val").alias("block_val"))
-    a, b = blk.alias("a"), blk.alias("b")
+             F.col("block.block_val").alias("block_val")))
+    ok = _guard_oversize_buckets(blk, ["block_idx", "block_val"],
+                                 max_bucket, "simhash_neardup_pairs")
+    a, b = ok.alias("a"), ok.alias("b")
     ham = F.expr("bit_count(a.simhash32 ^ b.simhash32)")
     return (
         a.join(b, (F.col("a.block_idx") == F.col("b.block_idx"))
@@ -655,7 +792,8 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
     )
 
 
-def simhash_neardup_oracle(max_hamming: int = 1) -> str:
+def simhash_neardup_oracle(max_hamming: int = 1,
+                           max_bucket: int = LSH_MAX_BUCKET) -> str:
     d = DUCK
     blocks = "\nUNION ALL\n".join(
         f"SELECT doc_id, simhash32, {i} AS block_idx, "
@@ -666,7 +804,12 @@ def simhash_neardup_oracle(max_hamming: int = 1) -> str:
     return f"""
 WITH _hb_basis AS (SELECT doc_id, {_shingle_hashes(d)} AS _hb FROM documents),
 sh AS (SELECT doc_id, {d.simhash32('_hb')} AS simhash32 FROM _hb_basis),
-blk AS ({blocks})
+blk0 AS ({blocks}),
+bsz AS (
+  SELECT block_idx, block_val FROM blk0
+  GROUP BY block_idx, block_val HAVING count(*) <= {max_bucket}
+),
+blk AS (SELECT b.* FROM blk0 b JOIN bsz USING (block_idx, block_val))
 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
        CAST({ham} AS INTEGER) AS hamming
 FROM blk a JOIN blk b

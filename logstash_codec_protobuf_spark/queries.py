@@ -418,6 +418,106 @@ def stream_wire_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sessionize",
+    _oracle(
+        """
+, _sess AS (
+    SELECT conv_id, turn_idx,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                     > 1800000000 THEN 1 ELSE 0 END AS new_session
+    FROM transcripts
+)
+SELECT conv_id, turn_idx,
+       CAST(sum(new_session) OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
+FROM _sess
+"""
+    ),
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL STREAMING operator, oracle-checked (round-4 verdict
+    item 3): gap-based sessionization via ``applyInPandasWithState`` over
+    readStream micro-batches, drained deterministically with availableNow
+    into an append-mode memory sink. State is one (last_ts, seq) pair per
+    conversation — O(#conversations), bounded. The stage parquet is
+    repartitioned BY conv_id so each conversation lands wholly inside one
+    micro-batch (deterministic vs the batch-SQL oracle); cross-batch state
+    continuation itself is pinned by tests/test_streaming.py."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.stream import sessionize_stream
+
+    stage = tempfile.mkdtemp(prefix="q_stream_sess_")
+    try:
+        (transcripts_df(spark, sf_dir)
+         .repartition(8, "conv_id")
+         .sortWithinPartitions("conv_id", "turn_idx")
+         .write.mode("overwrite").parquet(stage))
+        stream = (
+            spark.readStream
+            .schema("conv_id string, turn_idx int, role string, "
+                    "text string, tool string, ts timestamp")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(stage)
+        )
+        sess = sessionize_stream(stream, gap_minutes=30)
+        name = "stream_sess_" + uuid.uuid4().hex[:8]
+        q = (sess.writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name).select("conv_id", "turn_idx", "session_seq")
+
+
+@query(
+    "stream_dedup",
+    _oracle(
+        """
+SELECT conv_id, turn_idx, md5(text) AS text_hash FROM transcripts
+"""
+    ),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING EXACT DEDUP, oracle-checked (round-4 verdict item 3):
+    ``dropDuplicatesWithinWatermark`` keyed on the content hash drops
+    replayed payloads (planted retry duplicates: every 5th turn arrives
+    twice) while keeping state bounded by the watermark horizon. The
+    watermark delay is set beyond the corpus time-span so the drain is
+    batching-independent: every replay is caught, no original is late, and
+    the survivors equal the batch distinct — duplicates are byte-identical
+    rows, so the surviving values are deterministic."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.stream import dedup_stream
+
+    tr = transcripts_df(spark, sf_dir)
+    replay = tr.filter(F.col("turn_idx") % 5 == 0)
+    stage = tempfile.mkdtemp(prefix="q_stream_dedup_")
+    try:
+        tr.union(replay).write.mode("overwrite").parquet(stage)
+        stream = (
+            spark.readStream
+            .schema("conv_id string, turn_idx int, role string, "
+                    "text string, tool string, ts timestamp")
+            .parquet(stage)
+        )
+        ded = dedup_stream(stream, watermark="8760 hours")
+        name = "stream_dedup_" + uuid.uuid4().hex[:8]
+        q = (ded.writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name).select("conv_id", "turn_idx", "text_hash")
+
+
+@query(
     "turn_order",
     _oracle(
         """
@@ -516,6 +616,78 @@ def encode_autoconvert(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc.coerce(F.col("cents") / 100.0, "int").alias("float_to_int"),
         enc.coerce(F.col("horn"), "string").alias("int_to_string"),
         enc.coerce(bool_src, "bool").alias("str_to_bool"),
+    )
+
+
+@query(
+    "encode_strict_discard",
+    _oracle(
+        """
+SELECT 'lenient_null_cents' AS mode,
+       CAST(count(*) FILTER (WHERE event_id % 10 = 0) AS BIGINT) AS n
+FROM _tr_num WHERE event_id % 37 <> 0
+UNION ALL
+SELECT 'strict_null_cents', CAST(count(*) AS BIGINT)
+FROM _tr_num WHERE event_id % 37 <> 0
+UNION ALL
+SELECT 'unknown_field_survivors', CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'schema_diff_extra_fields', CAST(1 AS BIGINT)
+"""
+    ),
+)
+def encode_strict_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pb3_encoder_autoconvert_types=false`` + unknown-field discard,
+    end-to-end (round-4 verdict item 6; reference spec cases encodePB3-e/f,
+    spec/codecs/pb3_encode_spec.rb:180-237):
+
+    - lenient (reference default, protobuf.rb:143): a string-typed ``cents``
+      coerces to double; only genuinely unparseable values (planted on
+      event_id % 10 == 0) null out for dead-letter;
+    - strict (autoconvert=false): the string->double leaf is a TYPE error —
+      every row's value nulls out ("Type error ... event has been
+      discarded", protobuf.rb:410-420);
+    - an extra column absent from the target schema discards the frame
+      (encodePB3-f) — zero survivors, with ``schema_diff`` supplying the
+      dead-letter accounting (exactly one extra-field entry).
+
+    All four facts reduce to exact counts, so the oracle is plain SQL over
+    the transcript derivation."""
+    from pyspark.sql import types as T
+
+    from .operators.schema_align import align_to_schema, schema_diff
+
+    flat = _good_flat(spark, sf_dir)
+    ev = F.expr("CAST(substring(msg, 2, 18) AS BIGINT)")
+    frame = flat.select(
+        "conv_id", "turn_idx",
+        F.when(ev % 10 == 0, F.lit("not-a-number"))
+        .otherwise(F.col("cents").cast("string")).alias("cents"),
+    )
+    target = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("cents", T.DoubleType()),
+    ])
+
+    def counted(df: DataFrame, mode: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(mode).alias("mode"), "n")
+
+    lenient = align_to_schema(frame, target, autoconvert=True)
+    strict = align_to_schema(frame, target, autoconvert=False)
+    extra = frame.withColumn("extra_field", F.lit(1))
+    discarded = align_to_schema(extra, target, discard_unknown=True)
+    n_extra = len([d for d in schema_diff(extra.schema, target)
+                   if d["expected"] is None])
+    diff_row = flat.sparkSession.createDataFrame(
+        [("schema_diff_extra_fields", n_extra)], "mode string, n bigint")
+    return (
+        counted(lenient.filter(F.col("cents").isNull()), "lenient_null_cents")
+        .union(counted(strict.filter(F.col("cents").isNull()),
+                       "strict_null_cents"))
+        .union(counted(discarded, "unknown_field_survivors"))
+        .union(diff_row)
     )
 
 
@@ -1667,8 +1839,23 @@ def minhash_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("minhash_pairs", DD.minhash_pairs_oracle())
 def minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate near-dup pairs — the O(n) scale path for fuzzy dedup."""
+    """LSH candidate near-dup pairs — the O(n) scale path for fuzzy dedup.
+    Round 5: buckets above LSH_MAX_BUCKET are excluded from pairwise
+    emission with logged accounting (oracle mirrors the HAVING clause) —
+    the all-pairs join is never exposed to a degenerate boilerplate
+    bucket."""
     return DD.minhash_pairs(_docs(spark, sf_dir))
+
+
+@query("minhash_pairs_star", DD.minhash_star_edges_oracle())
+def minhash_pairs_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-edge candidate graph for the clustering consumer (round-4
+    verdict item 2): exact-dedup representatives enter LSH banding, every
+    bucket member links to the bucket's min doc_id, identical docs link to
+    their content representative. O(bucket) output per bucket — a
+    million-copy crawl page emits 10^6 edges, not 10^11 pairs — with
+    components provably equal to the all-pairs candidate graph's."""
+    return DD.minhash_star_edges(_docs(spark, sf_dir))
 
 
 @query("simhash", DD.simhash_oracle())
@@ -1687,7 +1874,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SURVIVOR_ORACLE = f"""
-WITH RECURSIVE pairs AS ({DD.minhash_pairs_oracle()}),
+WITH RECURSIVE pairs AS ({DD.minhash_star_edges_oracle()}),
 edges AS (
   SELECT a_id AS s, b_id AS t FROM pairs
   UNION
@@ -2317,16 +2504,17 @@ def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum(vol).alias("revenue_c"))
 
 
-@query("dedup_clusters_star", DD.dedup_clusters_oracle())
+@query("dedup_clusters_star", DD.dedup_clusters_star_oracle())
 def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution by alternating large-star/small-star
     contraction (Kiveris et al., SoCC'14) — the O(log n)-round scale path
-    for diameter-heavy pair graphs at 10^12 docs; must produce exactly the
-    labeling of `dedup_clusters`'s min-label propagation, so it shares that
-    query's recursive-CTE oracle.  Defined LAST on purpose: registration
-    position 50 keeps it outside the driver's 50-entry CORRECTNESS window
-    without evicting a never-verified query (it is pytest- and
-    builder-sweep-verified this round; queue for the r5 window)."""
+    for diameter-heavy pair graphs at 10^12 docs. Round 5: edges come from
+    ``minhash_star_edges`` (exact-dedup pre-contraction + per-bucket star
+    edges, O(bucket) output — immune to the identical-boilerplate blowup),
+    and the oracle is the recursive CTE over that same star graph; labels
+    equal the all-pairs graph's by construction (parity-pinned in
+    tests/test_dedup_similarity.py). First in the r5 registration window —
+    the only query never driver-checked before this round."""
     return DD.dedup_clusters_star(_docs(spark, sf_dir))
 
 
@@ -2349,31 +2537,48 @@ def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FRONT: list[str] = [
-    # r2 hash-FAIL whose fix has never been driver-verified
-    "tpch_q5_local_supply",
-    # never in any driver CORRECTNESS report
-    "ivf_refine_assign", "multimodal_frames", "multimodal_resize",
-    "role_cents_quantiles", "role_tool_setops", "tpch_q3_shipping",
-    "tpch_q7_volume",
-    # registered past the window in r3 (green in r2 only, or never)
-    "multimodal_features", "session_stats", "role_sink_matrix",
-    "conv_tool_diversity", "nested_json_decode", "tpch_q1_pricing",
-    "tpch_join_topn",
-    # green in r3 only — second driver observation wanted
-    "dedup_clusters", "dedup_survivors", "pb2_wire_lineage",
-    "pb_wire_directory", "pb_wire_float_double", "pb_wire_nested_repeated",
-    "pb_wire_repeated_message", "pb_wire_rum", "pb_wire_struct",
-    "pb_wire_uint64_bytes", "simhash_weighted", "stream_hourly_counts",
+    # r5 rotation (round-4 verdict item 1): the window is the COMPLEMENT of
+    # r4's 50 — dedup_clusters_star first (never driver-checked in any round,
+    # now the default cluster path inside dedup_survivors), then the 20
+    # queries whose last green row is r3 and whose code the r4 interpreter
+    # fast path / kernel rewrites changed underneath (pb_wire_roundtrip,
+    # pb_wire_decode, pb_wire_encode, pb_wire_map_entries lead that group).
+    "dedup_clusters_star",
+    "pb_wire_roundtrip", "pb_wire_decode", "pb_wire_encode",
+    "pb_wire_map_entries", "parse_good", "dead_letter", "enum_symbolize",
+    "pb2_enum_passthrough", "oneof_xor", "enrich_turns", "route_counts",
+    "conv_stats", "hourly_stats", "turn_order", "conv_first_last",
+    "encode_roundtrip", "encode_autoconvert", "pb_schema_file_decode",
+    "pb2_wire_roundtrip", "pb_wire_dead_letter",
+    # new round-5 queries land here (each must be added when defined —
+    # tests/test_registration_order.py checks the window math)
+    "stream_sessionize", "stream_dedup", "encode_strict_discard",
+    "minhash_pairs_star",
+    # r4-green queries kept IN the window because round-5 code changes touch
+    # the operators under them (dedup star edges + bucket guard, ivf null
+    # ordering, wire-interpreter property-fuzz hardening)
+    "minhash_bands", "minhash_pairs", "simhash", "simhash_neardup",
+    "ngram_jaccard_pairs", "dedup_exact", "dedup_clusters", "dedup_survivors",
+    "simhash_weighted", "ivf_seed_farthest", "ivf_topk", "ivf_assign",
+    "ivf_refine_assign", "ann_cosine_topk", "ann_lsh_topk",
+    "embedding_neardup", "stream_hourly_counts", "stream_wire_counts",
+    "pb_wire_struct", "pb_wire_uint64_bytes", "pb_wire_float_double",
+    "pb_wire_nested_repeated", "pb_wire_repeated_message", "pb2_wire_lineage",
+    "pb_wire_directory",
 ]
 
 _TAIL: list[str] = [
-    # double-green (r2 AND r3) — rotated past the 50-entry window
-    "parse_good", "dead_letter", "enum_symbolize", "pb2_enum_passthrough",
-    "oneof_xor", "enrich_turns", "route_counts", "conv_stats", "hourly_stats",
-    "turn_order", "conv_first_last", "encode_roundtrip", "encode_autoconvert",
-    "pb_wire_encode", "pb_wire_decode", "pb_wire_roundtrip",
-    "pb_schema_file_decode", "pb2_wire_roundtrip", "pb_wire_dead_letter",
-    "pb_wire_map_entries",
+    # green in CORRECTNESS_r04.json and untouched by round-5 code changes —
+    # that fresh green row is the evidence that earns rotation past the
+    # 50-entry window this round
+    "tpch_q5_local_supply", "multimodal_frames", "multimodal_resize",
+    "role_cents_quantiles", "role_tool_setops", "tpch_q3_shipping",
+    "tpch_q7_volume", "multimodal_features", "session_stats",
+    "role_sink_matrix", "conv_tool_diversity", "nested_json_decode",
+    "tpch_q1_pricing", "tpch_join_topn", "pb_wire_rum", "oneof_metainfo_off",
+    "pb2_wire_repeated_enum", "pb_schema_multifile_decode",
+    "oneof_three_option", "oneof_array_elements", "json_struct_decode",
+    "json_variant_nested", "text_stats", "lang_id", "doc_fingerprint",
 ]
 
 

@@ -80,24 +80,25 @@ def make_session_updater(gap_minutes: int = 30):
         import pandas as pd
 
         last_us, seq = state.get if state.exists else (None, 0)
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("turn_idx")
-            seqs = []
-            for us in pdf["_us"]:
-                us = int(us)
-                if last_us is not None and us - last_us > gap_us:
-                    seq += 1
-                seqs.append(seq)
-                last_us = us
-            out.append(pd.DataFrame({
-                "conv_id": key[0],
-                "turn_idx": pdf["turn_idx"].astype("int32"),
-                "session_seq": pd.Series(seqs, dtype="int32",
-                                         index=pdf.index),
-            }))
+        # concatenate the batch's chunks BEFORE sorting: post-shuffle
+        # intra-group row order is not turn order, and a conversation larger
+        # than the Arrow chunk size would otherwise be sorted piecewise —
+        # the whole-conversation sort is exactly what grouped-map already
+        # costs in memory, and state across BATCHES stays one (ts, seq) pair
+        pdf = pd.concat(list(pdfs)).sort_values("turn_idx")
+        seqs = []
+        for us in pdf["_us"]:
+            us = int(us)
+            if last_us is not None and us - last_us > gap_us:
+                seq += 1
+            seqs.append(seq)
+            last_us = us
         state.update((last_us, seq))
-        yield from out
+        yield pd.DataFrame({
+            "conv_id": key[0],
+            "turn_idx": pdf["turn_idx"].astype("int32"),
+            "session_seq": pd.Series(seqs, dtype="int32", index=pdf.index),
+        })
 
     return update
 

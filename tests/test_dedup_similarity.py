@@ -479,3 +479,56 @@ def test_seed_farthest_zero_norm_vector_is_last_resort_never_a_crash(spark):
     s = {r["rank"]: (r["rank"], r["vec_id"], r["minmax_sim"]) for r in
          IVF.ivf_seed_farthest(emb, k=5).collect()}
     assert s == o, (s, o)
+
+
+def test_star_edges_cluster_identically_to_all_pairs_with_planted_dups(spark):
+    """Round-4 verdict item 2: the star-edge candidate graph (exact-dedup
+    pre-contraction + doc->bucket-min edges) must produce EXACTLY the
+    connected components of the uncapped all-pairs candidate graph — while
+    emitting O(bucket) rows where all-pairs emits O(bucket^2). Planted
+    pathology: 40 byte-identical boilerplate copies plus a near-dup chain."""
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text") \
+        .limit(60)
+    boiler = "cookie consent banner please accept all cookies " * 6
+    extra = [(100000 + i, boiler) for i in range(40)]
+    chain = [(200000 + i, "the quick brown fox chapter %d" % (i // 3) +
+              " jumped over the lazy dog again and again")
+             for i in range(12)]
+    docs = base.union(
+        spark.createDataFrame(extra + chain, "doc_id long, text string"))
+
+    allpairs = DD.minhash_pairs(docs, max_bucket=10**9)
+    want = {(r["doc_id"], r["cluster_id"])
+            for r in DD.dedup_clusters_star(docs, pairs=allpairs).collect()}
+    got = {(r["doc_id"], r["cluster_id"])
+           for r in DD.dedup_clusters_star(docs).collect()}  # star edges
+    assert got == want
+
+    # edge volume: the 40-copy bucket contributes 39 exact edges on the star
+    # path vs 40*39/2 = 780 pairs on the uncapped all-pairs path
+    star_n = DD.minhash_star_edges(docs).count()
+    pair_n = allpairs.count()
+    assert star_n < pair_n
+
+
+def test_oversize_bucket_guard_drops_loudly(spark, caplog):
+    """Buckets past max_bucket are excluded from pairwise emission AND the
+    exclusion is logged — never a silent cap. 30 identical docs with
+    max_bucket=8: every band bucket is oversize, so no pair among them
+    survives; distinct-content docs are unaffected."""
+    import logging
+
+    rows = [(i, "identical boilerplate page body " * 5) for i in range(30)]
+    rows += [(100 + i, f"unique document number {i} with its own words {i}")
+             for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with caplog.at_level(logging.WARNING,
+                         logger="logstash_codec_protobuf_spark.operators.dedup"):
+        pairs = DD.minhash_pairs(docs, max_bucket=8).collect()
+    assert any("excluded from pairwise emission" in r.message
+               for r in caplog.records)
+    assert all(r["a_id"] >= 100 or r["b_id"] >= 100 for r in pairs) or not pairs
+    # the star path needs no cap: the boilerplate component is intact there
+    labels = {r["doc_id"]: r["cluster_id"]
+              for r in DD.dedup_clusters_star(docs).collect()}
+    assert {labels[i] for i in range(30)} == {0}
