@@ -81,8 +81,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     """
     d = SPARK
     cand = minhash_pairs(docs)
-    shingle_col = (_shingles3_udf(F.col("text")) if k == 3
-                   else F.expr(d.shingles("text", k)))
+    shingle_col = _shingles_udf(k)(F.col("text"))
     sh = docs.select(
         "doc_id", shingle_col.alias("shingles")
     ).select(
@@ -217,14 +216,19 @@ def _shingle_hashes_udf(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-@F.pandas_udf(T.ArrayType(T.StringType()))
-def _shingles3_udf(text: pd.Series) -> pd.Series:
-    """Distinct char-3-grams, first-occurrence order (== array_distinct of
-    the substring map in the SQL template)."""
-    return pd.Series(
-        [list(dict.fromkeys(t[i:i + 3] for i in range(len(t) - 2)))
-         for t in text]
-    )
+def _shingles_udf(k: int):
+    """Distinct char-k-grams, first-occurrence order (== array_distinct of
+    the substring map in the SQL template), as an Arrow-batch UDF for ANY k
+    — the interpreted higher-order-function template this replaces was the
+    dominant Jaccard cost, and vectorizing only k=3 left a perf trap for
+    anyone tuning k."""
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def shingles(text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [list(dict.fromkeys(t[i:i + k] for i in range(len(t) - k + 1)))
+             for t in text]
+        )
+    return shingles
 
 
 def _hash_basis(docs: DataFrame) -> DataFrame:

@@ -532,3 +532,25 @@ def test_oversize_bucket_guard_drops_loudly(spark, caplog):
     labels = {r["doc_id"]: r["cluster_id"]
               for r in DD.dedup_clusters_star(docs).collect()}
     assert {labels[i] for i in range(30)} == {0}
+
+
+def test_shingles_udf_matches_oracle_template_for_any_k(spark):
+    """The Arrow shingle kernel must equal the DuckDB oracle template for
+    every k, not just the k=3 default (round-4 verdict wrong-item 3) —
+    set-equal (Jaccard consumes shingles as sets; DuckDB's list_distinct
+    order differs), with short-string inputs yielding [] in both engines."""
+    import duckdb
+
+    from logstash_codec_protobuf_spark.functions.portable import DUCK as DK
+
+    texts = ["abcdefg", "aaaa", "ab", "", "ababab", "xyzxyzxy"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    con = duckdb.connect()
+    for k in (2, 3, 4, 5):
+        got = {r["doc_id"]: set(r["s"]) for r in df.select(
+            "doc_id", DD._shingles_udf(k)(F.col("text")).alias("s")).collect()}
+        want = {i: set(con.execute(
+            f"SELECT {DK.shingles('t', k)} FROM (SELECT ? AS t)",
+            [t]).fetchone()[0]) for i, t in enumerate(texts)}
+        assert got == want, k
