@@ -554,3 +554,28 @@ def test_shingles_udf_matches_oracle_template_for_any_k(spark):
             f"SELECT {DK.shingles('t', k)} FROM (SELECT ? AS t)",
             [t]).fetchone()[0]) for i, t in enumerate(texts)}
         assert got == want, k
+
+
+def test_ann_recall_floor_at_documented_settings(spark):
+    """Recall floor for the approximate ANN tier (round-4 verdict item 5):
+    at the documented settings — IVF n_probe=6 of 8 lists; hyperplane LSH
+    with 2 planes + 1-bit multiprobe — recall@5 against brute-force cosine
+    ground truth must stay >= 0.8 EVEN on this near-uniform synthetic
+    corpus (the adversarial regime for partitioned ANN; see
+    BENCH/ann_recall.md for the full sweep). A silent recall regression
+    fails here, not in a training run."""
+    from logstash_codec_protobuf_spark.operators import ivf as IVF
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_q, k = 32, 5
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in SIM.cosine_topk(emb, n_queries=n_q, k=k).collect()}
+
+    def recall(df):
+        approx = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(exact & approx) / len(exact)
+
+    r_ivf = recall(IVF.ivf_topk(emb, n_queries=n_q, k=k, n_probe=6))
+    r_lsh = recall(SIM.lsh_topk(emb, n_queries=n_q, k=k, n_planes=2))
+    assert r_ivf >= 0.8, r_ivf
+    assert r_lsh >= 0.8, r_lsh
