@@ -225,3 +225,37 @@ def test_cosine_topk_broadcasts_queries_not_corpus(spark):
     # MapInPandas BEFORE the Window operator in execution (bottom-up text:
     # Window appears above/before MapInPandas in toString)
     assert plan.index("Window") < plan.index("MapInPandas"), plan[:1500]
+
+
+def test_star_edges_plan_has_no_cartesian_and_no_pairwise_blowup(spark):
+    """The star-edge candidate graph (round 5) must stay an equi-join plan:
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere, and no
+    band-frame SELF-join (the all-pairs shape it exists to replace) — its
+    joins are bands x bucket-min aggregate and docs x content-group, both
+    key-equi."""
+    from logstash_codec_protobuf_spark.operators import dedup as DD
+    from logstash_codec_protobuf_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _executed(DD.minhash_star_edges(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_guarded_pairs_excludes_oversize_without_reshuffling_bands(spark):
+    """The oversize-bucket guard must attach as a left_anti join against the
+    (tiny) oversize-key frame — with AQE it becomes a broadcast anti join,
+    never a second full shuffle of the band frame."""
+    from logstash_codec_protobuf_spark import cache
+    from logstash_codec_protobuf_spark.operators import dedup as DD
+    from logstash_codec_protobuf_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = DD.minhash_pairs(docs)
+    # force AQE finalization so the anti-join strategy is the real one
+    pairs.count()
+    plan = _executed(pairs)
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan) or \
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    cache.release_tracked()
