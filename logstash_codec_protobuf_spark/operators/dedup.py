@@ -201,6 +201,9 @@ def _shingle_hashes_udf(text: pd.Series) -> pd.Series:
     k = MINHASH_SHINGLE_K
     out = []
     for t in text:
+        if t is None:  # NULL text null-propagates like the SQL template
+            out.append(None)
+            continue
         c = _codepoints(t)
         if len(c) < k:
             out.append([])
@@ -224,8 +227,11 @@ def _shingles_udf(k: int):
     anyone tuning k."""
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def shingles(text: pd.Series) -> pd.Series:
+        # NULL text null-propagates, matching the SQL template this kernel
+        # replaces (len(None) would kill the whole Arrow batch instead)
         return pd.Series(
-            [list(dict.fromkeys(t[i:i + k] for i in range(len(t) - k + 1)))
+            [None if t is None else
+             list(dict.fromkeys(t[i:i + k] for i in range(len(t) - k + 1)))
              for t in text]
         )
     return shingles
@@ -243,6 +249,9 @@ def _minhash_sigs_udf(hb: pd.Series) -> pd.Series:
     SQL minhash_term template."""
     out = []
     for hs in hb:
+        if hs is None:  # NULL basis (NULL text) null-propagates
+            out.append(None)
+            continue
         arr = np.asarray(hs, dtype=np.int64)
         # one (n,16) matrix per row instead of 16 tiny passes
         out.append(((arr[:, None] * _PERM_A + _PERM_B) % MOD).min(0).tolist())
@@ -296,7 +305,14 @@ def _guard_oversize_buckets(bucketed: DataFrame, keys: list[str],
     shuffle on the big side (AQE broadcasts it); the per-bucket groupBy is
     the same shuffle key the candidate join uses."""
     sizes = bucketed.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
-    over = sizes.filter(F.col("_bn") > max_bucket)
+    # materialize the (tiny) oversize-key frame ONCE: the accounting probe
+    # and the left_anti below both read the checkpointed rows instead of
+    # re-running the bucket-size aggregation. This makes pair-frame
+    # CONSTRUCTION an action (it builds the tracked bucket cache the
+    # candidate join then reuses) — the documented price of never capping
+    # silently; plan-only consumers should pass max_bucket=None-like large
+    # values or build edges via minhash_star_edges instead.
+    over = sizes.filter(F.col("_bn") > max_bucket).localCheckpoint(eager=True)
     stats = over.agg(F.count(F.lit(1)).alias("b"),
                      F.sum("_bn").alias("d")).first()
     if stats["b"]:
@@ -363,7 +379,9 @@ def minhash_star_edges(docs: DataFrame) -> DataFrame:
     path (output is linear in bucket size by construction)."""
     h = docs.select("doc_id", F.md5("text").alias("_h"), "text")
     reps = h.groupBy("_h").agg(F.min("doc_id").alias("rep"))
-    withrep = h.join(reps, "_h")
+    # persisted: both consumers below (exact edges, rep banding) would
+    # otherwise re-derive the full-corpus md5 scan + content-group join
+    withrep = cache.track(h.join(reps, "_h"))
     exact_edges = (
         withrep.filter(F.col("doc_id") != F.col("rep"))
         .select(F.col("rep").alias("a_id"), F.col("doc_id").alias("b_id"))
@@ -436,6 +454,9 @@ def _simhash32_udf(hb: pd.Series) -> pd.Series:
     instead of 32 tiny passes."""
     out = []
     for hs in hb:
+        if hs is None:  # NULL basis (NULL text) null-propagates
+            out.append(None)
+            continue
         arr = np.asarray(hs, dtype=np.int64)
         n = len(arr)
         if n == 0:
@@ -707,6 +728,9 @@ def _shingle_hashes_all_udf(text: pd.Series) -> pd.Series:
     k = MINHASH_SHINGLE_K
     out = []
     for t in text:
+        if t is None:  # NULL text null-propagates like the SQL template
+            out.append(None)
+            continue
         c = _codepoints(t)
         if len(c) < k:
             out.append([])

@@ -102,7 +102,16 @@ def _scalar_kind(ftype: str) -> str:
 
 def _decode_packed(data: bytes, ftype: str, registry: SchemaRegistry,
                    proto_version: int) -> list:
-    """Packed repeated numerics (proto3 default packing for varint fields)."""
+    """Packed repeated numerics (proto3 default packing: varint AND
+    fixed32/64 scalar kinds both arrive as one length-delimited blob)."""
+    if ftype == "double":
+        if len(data) % 8:
+            raise ValueError(WIRE_ERROR)
+        return [v[0] for v in struct.iter_unpack("<d", data)]
+    if ftype == "float":
+        if len(data) % 4:
+            raise ValueError(WIRE_ERROR)
+        return [v[0] for v in struct.iter_unpack("<f", data)]
     out = []
     pos = 0
     while pos < len(data):
@@ -241,11 +250,19 @@ def py_decode(buf: bytes, registry: SchemaRegistry, message: str,
         elif wt == 1:
             if f.type != "double":
                 continue  # skip: declared type doesn't use fixed64
-            out[f.name] = struct.unpack("<d", data)[0]
+            val = struct.unpack("<d", data)[0]
+            if f.repeated:  # unpacked repeated double: append, never clobber
+                out[f.name].append(val)
+            else:
+                out[f.name] = val
         elif wt == 5:
             if f.type != "float":
                 continue
-            out[f.name] = struct.unpack("<f", data)[0]
+            val = struct.unpack("<f", data)[0]
+            if f.repeated:
+                out[f.name].append(val)
+            else:
+                out[f.name] = val
         else:  # wt == 2
             if f.type == "string":
                 try:
@@ -268,7 +285,8 @@ def py_decode(buf: bytes, registry: SchemaRegistry, message: str,
                 entry = _decode_map_entry(data, k, v, registry, proto_version)
                 out[f.name].update(entry)
                 continue
-            elif f.repeated and _scalar_kind(f.type) == "varint":
+            elif f.repeated and _scalar_kind(f.type) in (
+                    "varint", "fixed32", "fixed64"):
                 out[f.name].extend(
                     _decode_packed(data, f.type, registry, proto_version)
                 )

@@ -2561,7 +2561,7 @@ _FRONT: list[str] = [
     "ngram_jaccard_pairs", "dedup_exact", "dedup_clusters", "dedup_survivors",
     "simhash_weighted", "ivf_seed_farthest", "ivf_topk", "ivf_assign",
     "ivf_refine_assign", "ann_cosine_topk", "ann_lsh_topk",
-    "embedding_neardup", "stream_hourly_counts", "stream_wire_counts",
+    "embedding_neardup", "pb_wire_rum", "stream_wire_counts",
     "pb_wire_struct", "pb_wire_uint64_bytes", "pb_wire_float_double",
     "pb_wire_nested_repeated", "pb_wire_repeated_message", "pb2_wire_lineage",
     "pb_wire_directory",
@@ -2575,7 +2575,8 @@ _TAIL: list[str] = [
     "role_cents_quantiles", "role_tool_setops", "tpch_q3_shipping",
     "tpch_q7_volume", "multimodal_features", "session_stats",
     "role_sink_matrix", "conv_tool_diversity", "nested_json_decode",
-    "tpch_q1_pricing", "tpch_join_topn", "pb_wire_rum", "oneof_metainfo_off",
+    "tpch_q1_pricing", "tpch_join_topn", "stream_hourly_counts",
+    "oneof_metainfo_off",
     "pb2_wire_repeated_enum", "pb_schema_multifile_decode",
     "oneof_three_option", "oneof_array_elements", "json_struct_decode",
     "json_variant_nested", "text_stats", "lang_id", "doc_fingerprint",

@@ -487,8 +487,10 @@ def test_star_edges_cluster_identically_to_all_pairs_with_planted_dups(spark):
     connected components of the uncapped all-pairs candidate graph — while
     emitting O(bucket) rows where all-pairs emits O(bucket^2). Planted
     pathology: 40 byte-identical boilerplate copies plus a near-dup chain."""
+    # orderBy before limit: a bare LocalLimit has no stable row choice, and
+    # this frame is re-executed by four separate actions below
     base = load_table(spark, SF_DIR, "documents").select("doc_id", "text") \
-        .limit(60)
+        .orderBy("doc_id").limit(60)
     boiler = "cookie consent banner please accept all cookies " * 6
     extra = [(100000 + i, boiler) for i in range(40)]
     chain = [(200000 + i, "the quick brown fox chapter %d" % (i // 3) +
@@ -579,3 +581,28 @@ def test_ann_recall_floor_at_documented_settings(spark):
     r_lsh = recall(SIM.lsh_topk(emb, n_queries=n_q, k=k, n_planes=2))
     assert r_ivf >= 0.8, r_ivf
     assert r_lsh >= 0.8, r_lsh
+
+
+def test_null_text_null_propagates_through_fingerprint_kernels(spark):
+    """A NULL text row must null-propagate through every Arrow fingerprint
+    kernel (shingles for any k, minhash basis/signatures, simhash votes,
+    weighted basis) exactly like the SQL templates they replace — never
+    kill the batch with len(None) (round-5 self-review finding)."""
+    docs = spark.createDataFrame(
+        [(0, "a real document body here"), (1, None), (2, "another doc")],
+        "doc_id long, text string")
+    for k in (3, 4):
+        rows = {r["doc_id"]: r["s"] for r in docs.select(
+            "doc_id", DD._shingles_udf(k)(F.col("text")).alias("s")).collect()}
+        assert rows[1] is None and rows[0]
+    sigs = {r["doc_id"]: r["s"] for r in docs.select(
+        "doc_id",
+        DD._minhash_sigs_udf(DD._shingle_hashes_udf(F.col("text"))).alias("s"),
+    ).collect()}
+    assert sigs[1] is None and len(sigs[0]) == 16
+    sh = {r["doc_id"]: r["simhash32"]
+          for r in DD.simhash(docs).collect()}
+    assert sh[1] is None and sh[0] is not None
+    w = {r["doc_id"]: r["simhash32_w"]
+         for r in DD.simhash_weighted(docs).collect()}
+    assert w[1] is None and w[0] is not None

@@ -385,11 +385,19 @@ def naive_decode(buf, registry, message, proto_version=3, depth=4):
         elif wt == 1:
             if f.type != "double":
                 continue
-            out[f.name] = _struct.unpack("<d", data)[0]
+            val = _struct.unpack("<d", data)[0]
+            if f.repeated:
+                out[f.name].append(val)
+            else:
+                out[f.name] = val
         elif wt == 5:
             if f.type != "float":
                 continue
-            out[f.name] = _struct.unpack("<f", data)[0]
+            val = _struct.unpack("<f", data)[0]
+            if f.repeated:
+                out[f.name].append(val)
+            else:
+                out[f.name] = val
         else:
             if f.type == "string":
                 try:
@@ -409,7 +417,8 @@ def naive_decode(buf, registry, message, proto_version=3, depth=4):
                 out[f.name].update(
                     W._decode_map_entry(data, k, v, registry, proto_version))
                 continue
-            elif f.repeated and W._scalar_kind(f.type) == "varint":
+            elif f.repeated and W._scalar_kind(f.type) in (
+                    "varint", "fixed32", "fixed64"):
                 out[f.name].extend(
                     W._decode_packed(data, f.type, registry, proto_version))
                 continue
@@ -514,3 +523,79 @@ def test_decode_plan_template_never_aliases_containers():
     assert a["favourite_numbers"] == [3]
     assert b["favourite_numbers"] == []
     assert a["favourite_numbers"] is not b["favourite_numbers"]
+
+
+def _sensor_registry():
+    """A message with repeated double/float fields — absent from the built-in
+    fixture registry, present here so the fuzz covers the repeated-fixed
+    decode class (unpacked records must APPEND; packed blobs must split)."""
+    from logstash_codec_protobuf_spark.schema import (
+        FieldSpec, MessageSpec, SchemaRegistry,
+    )
+
+    reg = SchemaRegistry()
+    reg.register_message(MessageSpec("sensor", (
+        FieldSpec("name", "string"),
+        FieldSpec("readings", "double", repeated=True),
+        FieldSpec("gains", "float", repeated=True),
+        FieldSpec("bias", "double"),
+    )))
+    return reg
+
+
+SENSOR_REG = _sensor_registry()
+
+
+def test_repeated_fixed_fields_append_unpacked_and_split_packed():
+    """proto3 spec: a repeated double/float field may arrive as N unpacked
+    wt=1/5 records (proto2 writers, forward compat) or one packed wt=2 blob
+    — both decode to the full list, never a last-value clobber."""
+    unpacked = (
+        _record(2, 1, _struct.pack("<d", 1.5))
+        + _record(3, 5, _struct.pack("<f", 0.25))
+        + _record(2, 1, _struct.pack("<d", -2.0))
+        + _record(3, 5, _struct.pack("<f", 4.0))
+        + _record(4, 1, _struct.pack("<d", 9.0))
+    )
+    d = W.py_decode(unpacked, SENSOR_REG, "sensor")
+    assert d["readings"] == [1.5, -2.0]
+    assert d["gains"] == [0.25, 4.0]
+    assert d["bias"] == 9.0
+
+    packed = (
+        _record(2, 2, py_varint(16) + _struct.pack("<dd", 1.5, -2.0))
+        + _record(3, 2, py_varint(8) + _struct.pack("<ff", 0.25, 4.0))
+    )
+    p = W.py_decode(packed, SENSOR_REG, "sensor")
+    assert p["readings"] == [1.5, -2.0]
+    assert p["gains"] == [0.25, 4.0]
+
+    # ragged packed blob (len not a multiple of the element width) is a
+    # wire error, identically in the naive reference
+    ragged = _record(2, 2, py_varint(9) + b"\x00" * 9)
+    for dec in (lambda b: W.py_decode(b, SENSOR_REG, "sensor"),
+                lambda b: naive_decode(b, SENSOR_REG, "sensor")):
+        try:
+            dec(ragged)
+            raise AssertionError("ragged packed blob must be a wire error")
+        except ValueError as e:
+            assert str(e) == W.WIRE_ERROR
+
+
+@given(_payload, st.booleans())
+@settings(max_examples=500, deadline=None)
+def test_fast_decode_matches_naive_on_repeated_fixed_message(buf, trunc):
+    if trunc and buf:
+        buf = buf[: len(buf) // 2]
+    try:
+        fast, fast_err = W.py_decode(buf, SENSOR_REG, "sensor"), None
+    except ValueError as e:
+        fast, fast_err = None, str(e)
+    try:
+        naive, naive_err = naive_decode(buf, SENSOR_REG, "sensor"), None
+    except ValueError as e:
+        naive, naive_err = None, str(e)
+    assert (fast_err is None) == (naive_err is None), (buf.hex(), fast_err,
+                                                      naive_err)
+    if fast_err is None:
+        assert _nan_norm(fast) == _nan_norm(naive), buf.hex()
