@@ -305,14 +305,14 @@ def _guard_oversize_buckets(bucketed: DataFrame, keys: list[str],
     shuffle on the big side (AQE broadcasts it); the per-bucket groupBy is
     the same shuffle key the candidate join uses."""
     sizes = bucketed.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
-    # materialize the (tiny) oversize-key frame ONCE: the accounting probe
-    # and the left_anti below both read the checkpointed rows instead of
-    # re-running the bucket-size aggregation. This makes pair-frame
-    # CONSTRUCTION an action (it builds the tracked bucket cache the
-    # candidate join then reuses) — the documented price of never capping
-    # silently; plan-only consumers should pass max_bucket=None-like large
-    # values or build edges via minhash_star_edges instead.
-    over = sizes.filter(F.col("_bn") > max_bucket).localCheckpoint(eager=True)
+    # The accounting probe is an EAGER action at pair-frame construction
+    # time — the documented price of never capping silently. It also builds
+    # the tracked bucket cache, so the left_anti's re-aggregation of the
+    # (tiny) oversize-key frame reads cached partitions; a localCheckpoint
+    # here would pin untracked RDD blocks past cache.release_all (cache
+    # hygiene test catches that). Plan-only consumers should build edges
+    # via minhash_star_edges instead.
+    over = sizes.filter(F.col("_bn") > max_bucket)
     stats = over.agg(F.count(F.lit(1)).alias("b"),
                      F.sum("_bn").alias("d")).first()
     if stats["b"]:
