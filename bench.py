@@ -856,11 +856,20 @@ def run_boilerplate(sf_dir: str, sf: str) -> dict:
         cache.release_tracked()
 
         def planted(n: int):
+            # plain persist + explicit unpersist at iteration end instead of
+            # localCheckpoint: checkpoint RDD blocks are untracked by the
+            # cache registry and would accumulate across the N sweep within
+            # this one bench process (the same pinning issue the guard fix
+            # removed from dedup.py). Persisted OUTSIDE cache.track because
+            # the mid-iteration release_tracked() between the star and
+            # guarded timings must not evict the shared input.
             extra = spark.range(n).select(
                 (F.col("id") + n0 + 1).alias("doc_id"),
                 F.lit(boiler).alias("text"))
-            return docs0.select("doc_id", "text").union(extra) \
-                .repartition(32).localCheckpoint(eager=True)
+            df = docs0.select("doc_id", "text").union(extra) \
+                .repartition(32).persist()
+            df.count()  # materialize eagerly so timing excludes the plant
+            return df
 
         # foil: unguarded all-pairs on the smallest planted bucket
         foil = planted(foil_n)
@@ -868,6 +877,7 @@ def run_boilerplate(sf_dir: str, sf: str) -> dict:
         t_foil = _timed(lambda: n_foil_pairs.__setitem__(
             0, DD.minhash_pairs(foil, max_bucket=10**9).count()))
         cache.release_tracked()
+        foil.unpersist()
         report["unguarded_foil"] = {
             "planted": foil_n, "pairs": n_foil_pairs[0],
             "sec": round(t_foil, 2)}
@@ -881,6 +891,7 @@ def run_boilerplate(sf_dir: str, sf: str) -> dict:
             t_guard = _timed(lambda: n_pairs.__setitem__(
                 0, DD.minhash_pairs(docs).count()))
             cache.release_tracked()
+            docs.unpersist()
             results[n] = {
                 "n_docs": n0 + n,
                 "star_edges": n_star[0], "star_sec": round(t_star, 2),

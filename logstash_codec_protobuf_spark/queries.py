@@ -1911,8 +1911,13 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window never sees a hot key. Clustering uses star contraction (the
     O(log n)-round path): replica-chained near-dup graphs reach diameter 16
     on the 50x docscale corpus, where propagation took 16 shuffle waves /
-    211s vs contraction's 5 / 36s (BENCH/dedup_scale_latest.md); labeling
-    is identical (parity-tested), so the oracle is unchanged."""
+    211s vs contraction's 5 / 36s (BENCH/dedup_scale_latest.md). The oracle
+    is the star-edge recursive CTE (exact-dedup reps -> bucket-min star
+    graph) — component-identical to the all-pairs candidate graph by the
+    minhash_star_edges proof. Label parity with the GUARDED all-pairs
+    clustering (dedup_clusters) additionally requires every bucket to fit
+    under LSH_MAX_BUCKET: the guarded pair path drops oversize buckets'
+    edges, the star path keeps them."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)

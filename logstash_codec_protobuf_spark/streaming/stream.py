@@ -128,11 +128,18 @@ def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     content hash and expires entries once the watermark passes — bounded
     state, unlike an unbounded dropDuplicates). The streaming twin of
     dedup_exact for ingestion pipelines where replays/retries duplicate
-    events."""
+    events.
+
+    The drop key is the FULL event identity (conv_id, turn_idx) plus the
+    content hash — replays are byte-identical rows, so this still collapses
+    every retry, while two genuinely distinct turns that happen to carry
+    identical text (e.g. repeated short tool outputs) both survive. Keying
+    on text_hash alone would silently drop real events on any corpus with
+    natural text collisions."""
     return (
         stream.withColumn("text_hash", F.md5("text"))
         .withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark(["text_hash"])
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "text_hash"])
     )
 
 

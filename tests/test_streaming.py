@@ -208,14 +208,22 @@ def test_streaming_wire_decode_matches_batch(spark, tmp_path):
 
 
 def test_streaming_dedup_within_watermark(spark, tmp_path):
-    """dropDuplicatesWithinWatermark must collapse replayed payloads to one
-    row each while keeping all distinct payloads."""
+    """dropDuplicatesWithinWatermark must collapse replayed payloads (byte-
+    identical rows) to one row each while keeping all distinct events — and
+    two DISTINCT turns that happen to share identical text must BOTH survive
+    (the drop key is full event identity + content hash, not text alone)."""
     from logstash_codec_protobuf_spark.streaming.stream import dedup_stream
 
     src = str(tmp_path / "dedup_src")
     tr = transcripts_df(spark, SF_DIR).limit(200)
+    # plant a natural text collision: two distinct (conv_id, turn_idx) rows
+    # carrying the same short tool output
+    collide = tr.limit(2).select(
+        F.concat(F.lit("collide-"), F.col("conv_id")).alias("conv_id"),
+        "turn_idx", "role", F.lit("OK").alias("text"), "tool", "ts")
+    base = tr.union(collide)
     # replay every row twice (ingestion retry twin)
-    tr.union(tr).coalesce(1).write.mode("overwrite").parquet(src)
+    base.union(base).coalesce(1).write.mode("overwrite").parquet(src)
     stream = read_transcript_stream(spark, src)
     q = (
         dedup_stream(stream).writeStream.format("memory")
@@ -225,11 +233,16 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    got = spark.sql("SELECT text_hash, count(*) c FROM dedup_stream_t "
-                    "GROUP BY text_hash").collect()
-    n_distinct = tr.select(F.md5("text")).distinct().count()
-    assert len(got) == n_distinct
+    got = spark.sql(
+        "SELECT conv_id, turn_idx, text_hash, count(*) c FROM dedup_stream_t "
+        "GROUP BY conv_id, turn_idx, text_hash").collect()
+    n_events = base.select("conv_id", "turn_idx", F.md5("text")) \
+        .distinct().count()
+    assert len(got) == n_events  # every retry collapsed, no real event lost
     assert all(r["c"] == 1 for r in got)
+    # both planted shared-text turns survived
+    n_collide = sum(1 for r in got if r["conv_id"].startswith("collide-"))
+    assert n_collide == 2
 
 
 def test_stateful_session_survives_restart(spark, tmp_path):
