@@ -42,6 +42,13 @@ class CodecConfig:
     # False = mismatched-type leaves are type errors (null -> dead-letter /
     # strict raise), never conversions; exact-type values still encode
     encoder_autoconvert_types: bool = True
+    # Nesting bound for SELF-REFERENCING messages (human.pb.rb:16-17; the
+    # reference's recursive walk protobuf.rb:287-336 is unbounded, but a
+    # columnar output schema has a fixed depth). Payloads nested deeper than
+    # this dead-letter LOUDLY with pb_wire.DEPTH_ERROR — a distinct tag from
+    # malformed-bytes WIRE_ERROR, so pipelines can route/alert on them —
+    # never a silent truncation. Raise it to widen the decoded lineage.
+    max_recursion_depth: int = 3
     # explicit shuffle sizing for the routing fan-out (north_rule: explicit
     # repartition before the routing shuffle; sized for the target SF)
     route_partitions: int | None = None

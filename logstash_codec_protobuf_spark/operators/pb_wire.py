@@ -51,6 +51,14 @@ from ..functions.wire import (
 from ..schema import SchemaRegistry, default_registry
 
 WIRE_ERROR = "payload does not match pb3 wire format"
+# Distinct dead-letter tag for recursive messages that exceed the configured
+# nesting bound (config.max_recursion_depth). The reference's recursion is
+# unbounded (spec/helpers/pb2/human.pb.rb:16-17 self-referencing Human;
+# protobuf.rb:287-336 recursive walk); a columnar engine must bound the
+# OUTPUT SCHEMA depth, so deeper payloads dead-letter LOUDLY under their own
+# tag — routable separately from malformed bytes — instead of erroring as
+# generic wire garbage or truncating silently.
+DEPTH_ERROR = "message nesting exceeds max_recursion_depth"
 
 _VARINT_TYPES = {"int32", "int64", "uint32", "uint64", "sint32", "sint64",
                  "bool"}
@@ -174,9 +182,12 @@ def _decode_plan(registry: SchemaRegistry, message: str, proto_version: int
 def py_decode(buf: bytes, registry: SchemaRegistry, message: str,
               proto_version: int = 3, depth: int = 4) -> dict:
     """bytes -> dict per the registered message spec (pb3_to_hash semantics,
-    protobuf.rb:287-336). Raises ValueError(WIRE_ERROR) on malformed input."""
+    protobuf.rb:287-336). Raises ValueError(WIRE_ERROR) on malformed input;
+    ValueError(DEPTH_ERROR) when nesting exceeds the depth budget (``depth``
+    counts message levels INCLUDING the root, so ``depth =
+    max_recursion_depth + 1`` allows max_recursion_depth nested levels)."""
     if depth <= 0:
-        raise ValueError(WIRE_ERROR)
+        raise ValueError(DEPTH_ERROR)
     by_num, base, ctors = _decode_plan(registry, message, proto_version)
 
     # proto3 default emission for absent scalars (protobuf.rb:297); list/dict
@@ -697,13 +708,42 @@ TURN_WIRE_DECODED_PB2 = T.StructType([
 ])
 
 
-def _make_decode_udf(registry: SchemaRegistry, proto_version: int = 3):
+def _make_decode_udf(registry: SchemaRegistry, proto_version: int = 3,
+                     vectorized: bool = True):
     """Build the Arrow-batch decode UDF around a specific registry. The
     registry (frozen dataclasses + dicts) is captured in the closure and
     pickled to each executor ONCE — no per-batch rebuild, and the same UDF
     works for a registry loaded from a schema file on disk
-    (schema.load_schema_file) as for the built-in one."""
+    (schema.load_schema_file) as for the built-in one.
+
+    When the message shape allows (flat scalar fields — turn_wire does), the
+    batch decodes through the numpy record-transposed walker
+    (``pb_wire_vec``) instead of the per-payload Python loop: same
+    semantics (fuzz-pinned), ~no Python-interpreter byte-walking.
+    ``vectorized=False`` keeps the scalar loop (bench A/B + parity foil)."""
     schema = TURN_WIRE_DECODED if proto_version == 3 else TURN_WIRE_DECODED_PB2
+    from .pb_wire_vec import build_flat_plan, flat_decode_frame
+
+    plan = (build_flat_plan(registry, "turn_wire", proto_version)
+            if vectorized else None)
+    if plan is not None:
+        @F.pandas_udf(schema)
+        def _decode_vec(payload: pd.Series) -> pd.DataFrame:
+            cols = flat_decode_frame(payload, plan)
+            out = pd.DataFrame({
+                **{k: cols[k] for k in _TURN_FIELDS},
+                "oneof_body": cols["_pb_oneof_body"],
+                "error": cols["error"],
+            }, columns=[f.name for f in schema])
+            int_cols = ["turn_idx", "cents", "horn", "wings"]
+            if proto_version == 2:
+                int_cols.append("colour")
+            for c in int_cols:
+                if out[c].dtype != "Int64":
+                    out[c] = out[c].astype("Int64")
+            return out
+
+        return _decode_vec
 
     @F.pandas_udf(schema)
     def _decode(payload: pd.Series) -> pd.DataFrame:
@@ -717,6 +757,16 @@ def _make_decode_udf(registry: SchemaRegistry, proto_version: int = 3):
             try:
                 d = py_decode(bytes(buf), registry, "turn_wire",
                               proto_version=proto_version)
+                for k in ("turn_idx", "cents", "horn", "wings"):
+                    v = d[k]
+                    # representability boundary (same rule as the vector
+                    # path): a varint past int64 dead-letters, the astype
+                    # below must never blow up the whole batch
+                    if v is not None and not (-(1 << 63) <= v < (1 << 63)):
+                        raise ValueError(WIRE_ERROR)
+                if proto_version == 2 and isinstance(d["colour"], int) \
+                        and not (-(1 << 63) <= d["colour"] < (1 << 63)):
+                    raise ValueError(WIRE_ERROR)
                 for k in _TURN_FIELDS:
                     cols[k].append(d[k])
                 cols["oneof_body"].append(d["_pb_oneof"].get("body"))
@@ -840,13 +890,15 @@ def decode_turn_wire(df: DataFrame, payload_col: str = "payload",
 
     ``impl``: 'auto' uses the JVM-native ``from_protobuf`` path whenever the
     spark-protobuf jar is on the classpath (no Python workers), else the
-    Arrow-batch UDF; 'jvm'/'arrow' force a path.
+    Arrow-batch UDF (numpy record-transposed walker for flat messages);
+    'jvm'/'arrow' force a path; 'arrow_scalar' forces the per-payload
+    Python loop inside the Arrow UDF (bench A/B + parity foil).
 
     ``oneof_metainfo``: mirrors the reference's ``pb3_set_oneof_metainfo``
     config (protobuf.rb:110-116, spec/codecs/pb3_decode_spec.rb:347-452 —
     whose DEFAULT is false): when disabled the chosen-member discriminator
     column is nulled; member values themselves always decode."""
-    if impl not in ("auto", "jvm", "arrow"):
+    if impl not in ("auto", "jvm", "arrow", "arrow_scalar"):
         raise ValueError(f"unknown decode impl: {impl}")
     if impl == "jvm" or (
         impl == "auto" and spark_protobuf_available(df.sparkSession)
@@ -854,7 +906,8 @@ def decode_turn_wire(df: DataFrame, payload_col: str = "payload",
         out = decode_turn_wire_jvm(df, payload_col, registry, proto_version)
     else:
         udf = _make_decode_udf(registry if registry is not None
-                               else default_registry(), proto_version)
+                               else default_registry(), proto_version,
+                               vectorized=(impl != "arrow_scalar"))
         out = df.withColumn("decoded", udf(F.col(payload_col)))
     if not oneof_metainfo:
         schema = (TURN_WIRE_DECODED if proto_version == 3
@@ -1443,14 +1496,20 @@ def _encode_human_udf(first: pd.Series, last: pd.Series, age: pd.Series,
     return pd.Series(out)
 
 
-def _make_human_decode_udf(registry: SchemaRegistry):
+def _make_human_decode_udf(registry: SchemaRegistry,
+                           max_recursion_depth: int = 3):
+    """human (pb2, SELF-REFERENCING via ``mother``) decode. Payloads nested
+    deeper than ``max_recursion_depth`` dead-letter with the DISTINCT
+    ``DEPTH_ERROR`` tag (loud bound enforcement — the output schema only
+    carries 3 generations, so a deeper message must never pass silently)."""
     @F.pandas_udf(LINEAGE_DECODED)
     def _decode(payload: pd.Series) -> pd.DataFrame:
         names = [f.name for f in LINEAGE_DECODED]
         cols: dict[str, list] = {n: [] for n in names}
         for buf in payload:
             try:
-                d = py_decode(bytes(buf), registry, "human", proto_version=2)
+                d = py_decode(bytes(buf), registry, "human", proto_version=2,
+                              depth=max_recursion_depth + 1)
                 m = d["mother"] or {}
                 gm = m.get("mother") or {}
                 f = d["father"] or {}
@@ -1464,9 +1523,11 @@ def _make_human_decode_udf(registry: SchemaRegistry):
                 cols["father_first"].append(f.get("first_name"))
                 cols["father_age"].append(f.get("age"))
                 cols["error"].append(None)
-            except ValueError:
+            except ValueError as e:
+                # preserve the tag: DEPTH_ERROR routes separately from
+                # malformed-bytes WIRE_ERROR in the dead-letter split
                 for n in names:
-                    cols[n].append(None if n != "error" else WIRE_ERROR)
+                    cols[n].append(None if n != "error" else str(e))
         out = pd.DataFrame(cols, columns=names)
         for c in ("age", "mother_age", "grandma_age", "father_age"):
             out[c] = out[c].astype("Int64")
@@ -1476,12 +1537,13 @@ def _make_human_decode_udf(registry: SchemaRegistry):
 
 
 def human_lineage_roundtrip(df: DataFrame,
-                            registry: SchemaRegistry | None = None
-                            ) -> DataFrame:
+                            registry: SchemaRegistry | None = None,
+                            max_recursion_depth: int = 3) -> DataFrame:
     """Encode (h_first, h_last, h_age, m_first, m_age, gm_first, gm_age,
     f_first, f_age) as a 3-generation human message and decode back —
     the pb2_spec.rb:43-77 walk (``mother.mother.first_name``) over real
-    wire bytes."""
+    wire bytes. ``max_recursion_depth`` (config.max_recursion_depth) bounds
+    the decode: deeper lineages dead-letter with DEPTH_ERROR."""
     reg = registry if registry is not None else default_registry()
     enc = df.withColumn(
         "payload",
@@ -1492,8 +1554,9 @@ def human_lineage_roundtrip(df: DataFrame,
             F.col("f_first"), F.col("f_age"),
         ),
     )
-    return enc.withColumn("decoded",
-                          _make_human_decode_udf(reg)(F.col("payload")))
+    return enc.withColumn(
+        "decoded",
+        _make_human_decode_udf(reg, max_recursion_depth)(F.col("payload")))
 
 
 # ---------------------------------------------------------------------------

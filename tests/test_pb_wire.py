@@ -298,11 +298,64 @@ def test_human_depth3_recursion_py():
     assert d["mother"]["mother"]["first_name"] == "Jancsi"
     assert d["mother"]["mother"]["age"] == 77
     assert d["father"] is None
-    # depth bound: great-great-grandmother exhausts the recursion budget
+    # depth bound: great-great-grandmother exhausts the recursion budget —
+    # LOUDLY, under the distinct DEPTH_ERROR tag (round-5 verdict item 3)
     g3 = py_field_len(4, py_field_len(4, py_field_len(4, py_field_len(
         4, py_field_string(1, "too-deep")))))
-    with pytest.raises(ValueError, match="wire format"):
+    with pytest.raises(ValueError, match="max_recursion_depth"):
         W.py_decode(g3, reg, "human", proto_version=2, depth=4)
+
+
+def test_human_depth_knob_py():
+    """max_recursion_depth is a real knob: a depth-4 lineage dead-letters
+    with DEPTH_ERROR at the default bound (3 nested levels) and decodes when
+    the bound is raised — never a silent truncation either way."""
+    reg = default_registry()
+
+    def lineage(n: int) -> bytes:
+        # n nested mother levels under the root
+        buf = py_field_string(1, f"gen{n}") + py_field_varint(6, 60 + n)
+        for i in range(n):
+            buf = (py_field_string(1, f"gen{n - 1 - i}")
+                   + py_field_len(4, buf) + py_field_varint(6, 30 + i))
+        return buf
+
+    # boundary: exactly 3 nested levels fits the default budget
+    d = W.py_decode(lineage(3), reg, "human", proto_version=2, depth=4)
+    assert d["mother"]["mother"]["mother"]["first_name"] == "gen3"
+    # one deeper: distinct loud error
+    with pytest.raises(ValueError, match="max_recursion_depth"):
+        W.py_decode(lineage(4), reg, "human", proto_version=2, depth=4)
+    # raising the knob admits it
+    d = W.py_decode(lineage(4), reg, "human", proto_version=2, depth=5)
+    assert d["mother"]["mother"]["mother"]["mother"]["first_name"] == "gen4"
+    # and DEPTH_ERROR != WIRE_ERROR: the dead-letter router can tell them apart
+    assert W.DEPTH_ERROR != W.WIRE_ERROR
+
+
+def test_human_depth4_dead_letters_with_depth_tag(spark):
+    """Through Spark: a depth-4 Human payload in a batch dead-letters under
+    DEPTH_ERROR while its depth-3 neighbors decode — the tag survives the
+    Arrow UDF boundary for separate routing (config.max_recursion_depth)."""
+    import pandas as _pd
+
+    reg = default_registry()
+    grandma = py_field_string(1, "Jancsi") + py_field_varint(6, 77)
+    mother = (py_field_string(1, "Jane") + py_field_len(4, grandma)
+              + py_field_varint(6, 42))
+    ok = (py_field_string(1, "Hugo") + py_field_string(3, "Smith")
+          + py_field_len(4, mother) + py_field_varint(6, 11))
+    g3 = py_field_string(1, "Root") + py_field_len(4, py_field_len(
+        4, py_field_len(4, py_field_len(4, py_field_string(1, "deep")))))
+    df = spark.createDataFrame([(bytearray(ok),), (bytearray(g3),),
+                                (bytearray(b"\xff\xff"),)],
+                               "payload binary")
+    rows = df.withColumn(
+        "decoded", W._make_human_decode_udf(reg)(F.col("payload"))
+    ).select("decoded.first_name", "decoded.error").collect()
+    assert rows[0]["error"] is None and rows[0]["first_name"] == "Hugo"
+    assert rows[1]["error"] == W.DEPTH_ERROR
+    assert rows[2]["error"] == W.WIRE_ERROR
 
 
 def test_repeated_message_decode_py():

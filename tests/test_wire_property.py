@@ -599,3 +599,103 @@ def test_fast_decode_matches_naive_on_repeated_fixed_message(buf, trunc):
                                                       naive_err)
     if fast_err is None:
         assert _nan_norm(fast) == _nan_norm(naive), buf.hex()
+
+
+# ---------------------------------------------------------------------------
+# vectorized (numpy) flat decoder vs the scalar spec decoder — the fast path
+# that replaced the per-payload Python byte walk (round-5 verdict item 1)
+# must be record-for-record identical to py_decode, including the error and
+# representability boundaries.
+# ---------------------------------------------------------------------------
+
+import pandas as _pd
+
+from logstash_codec_protobuf_spark.operators.pb_wire_vec import (
+    _fits_int64, build_flat_plan, flat_decode_frame,
+)
+
+_PLAN3 = build_flat_plan(REG, "turn_wire", 3)
+_PLAN2 = build_flat_plan(REG, "turn_wire", 2)
+_TURN_NAMES = list(_PLAN3.field_names)
+
+
+def _scalar_reference(buf, proto_version=3):
+    """What the scalar UDF row builder produces for one payload (including
+    the int64-representability dead-letter rule)."""
+    out = {n: None for n in _TURN_NAMES}
+    out["_pb_oneof_body"] = None
+    out["error"] = W.WIRE_ERROR
+    if buf is None:
+        return out
+    try:
+        d = W.py_decode(bytes(buf), REG, "turn_wire",
+                        proto_version=proto_version)
+    except ValueError:
+        return out
+    for k in ("turn_idx", "cents", "horn", "wings"):
+        if d[k] is not None and not _fits_int64(d[k]):
+            return out
+    if proto_version == 2 and isinstance(d["colour"], int) \
+            and not _fits_int64(d["colour"]):
+        return out
+    res = {n: d[n] for n in _TURN_NAMES}
+    res["_pb_oneof_body"] = d["_pb_oneof"].get("body")
+    res["error"] = None
+    return res
+
+
+def _assert_batch_parity(payloads, proto_version=3):
+    plan = _PLAN3 if proto_version == 3 else _PLAN2
+    cols = flat_decode_frame(_pd.Series(payloads, dtype=object), plan)
+    frame = _pd.DataFrame(cols)
+    for i, p in enumerate(payloads):
+        want = _scalar_reference(p, proto_version)
+        for k, wv in want.items():
+            gv = frame.iloc[i][k]
+            gv = None if gv is _pd.NA else gv
+            if gv is None and wv is None:
+                continue
+            assert gv == wv, (
+                f"row {i} field {k}: vector={gv!r} scalar={wv!r} "
+                f"payload={bytes(p) if p is not None else None!r}")
+
+
+@given(st.lists(turn_values, min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_vector_decoder_matches_scalar_on_encoded_turns(vs):
+    _assert_batch_parity([W.py_encode_turn(v) for v in vs])
+
+
+@given(st.lists(st.one_of(st.none(), st.binary(max_size=40)),
+                min_size=1, max_size=16))
+@settings(max_examples=200, deadline=None)
+def test_vector_decoder_matches_scalar_on_junk(bufs):
+    """Arbitrary byte soup: both decoders must agree row-for-row on decode
+    vs dead-letter, for pb3 AND pb2 dialects."""
+    _assert_batch_parity(bufs, proto_version=3)
+    _assert_batch_parity(bufs, proto_version=2)
+
+
+# wire-shaped generator: records with valid tags for the turn schema plus
+# unknown fields — much denser coverage of the decoder's branch space than
+# uniform junk (mirrors the naive_decode fuzz above)
+_known_varint = st.sampled_from([2, 5, 6, 8, 9])
+_known_string = st.sampled_from([1, 3, 4, 10])
+_turnrec = st.one_of(
+    st.tuples(_known_varint, u64).map(lambda t: py_field_varint(*t)),
+    st.tuples(_known_string, st.binary(max_size=12)).map(
+        lambda t: py_field_len(t[0], t[1])),
+    st.tuples(st.integers(min_value=11, max_value=99), u64).map(
+        lambda t: py_field_varint(*t)),          # unknown varint field
+    st.tuples(_known_varint, st.binary(max_size=6)).map(
+        lambda t: py_field_len(*t)),             # wt2 on scalar: WIRE_ERROR
+    st.binary(min_size=1, max_size=6),           # raw splice (may truncate)
+)
+
+
+@given(st.lists(st.lists(_turnrec, max_size=9).map(b"".join),
+                min_size=1, max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_vector_decoder_matches_scalar_on_wire_shaped(payloads):
+    _assert_batch_parity(payloads, proto_version=3)
+    _assert_batch_parity(payloads, proto_version=2)
