@@ -69,7 +69,8 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
-                        k: int = 3) -> DataFrame:
+                        k: int = 3,
+                        max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
     """Near-dup pairs by character k-gram Jaccard, candidates from MinHash LSH.
 
     The candidate generator is ``minhash_pairs`` (band-bucket equi-join,
@@ -80,7 +81,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     'LSH-candidate pairs with Jaccard >= t', mirrored exactly by the oracle.
     """
     d = SPARK
-    cand = minhash_pairs(docs)
+    cand = minhash_pairs(docs, max_bucket=max_bucket)
     shingle_col = _shingles_udf(k)(F.col("text"))
     sh = docs.select(
         "doc_id", shingle_col.alias("shingles")
@@ -295,45 +296,86 @@ def minhash_bands_oracle(source: str = "documents") -> str:
             + "\nUNION ALL\n".join(selects))
 
 
+def minhash_oversize_buckets(docs: DataFrame,
+                             max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+    """The bucket-guard's exclusions as a FIRST-CLASS queryable frame:
+    (band_idx, band_key, n_docs) for every LSH band bucket whose membership
+    exceeds ``max_bucket`` — exactly the buckets ``minhash_pairs`` drops
+    from pairwise emission. A pipeline routes these to exact dedup /
+    star-edge clustering explicitly instead of trusting a log line: the
+    guard's recall loss is observable, joinable (back to doc_ids via
+    ``minhash_bands``), and alertable. One hash-agg shuffle on the same key
+    the candidate join uses; output is tiny by construction (only
+    pathological buckets qualify)."""
+    return (
+        minhash_bands(docs)
+        .groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
+
+
+def minhash_oversize_buckets_oracle(max_bucket: int = LSH_MAX_BUCKET) -> str:
+    return f"""
+WITH bands AS ({minhash_bands_oracle()})
+SELECT band_idx, band_key, count(*) AS n_docs FROM bands
+GROUP BY band_idx, band_key HAVING count(*) > {max_bucket}
+"""
+
+
 def _guard_oversize_buckets(bucketed: DataFrame, keys: list[str],
-                            max_bucket: int, what: str) -> DataFrame:
+                            max_bucket: int, what: str,
+                            accounting: str = "lazy") -> DataFrame:
     """Drop bucket keys whose membership exceeds ``max_bucket`` from pairwise
-    emission, LOUDLY: the oversize key set is computed eagerly (the bucket
-    frame is already cache-tracked, so this probe is the pass that builds the
-    cache the candidate join reuses) and logged with bucket/doc counts. The
-    exclusion is a left_anti against the tiny oversize-key frame — no extra
-    shuffle on the big side (AQE broadcasts it); the per-bucket groupBy is
-    the same shuffle key the candidate join uses."""
+    emission. The exclusion is a left_anti against the tiny oversize-key
+    frame — no extra shuffle on the big side (AQE broadcasts it); the
+    per-bucket groupBy is the same shuffle key the candidate join uses.
+
+    ``accounting``: the DEFAULT is 'lazy' — construction stays plan-only
+    (round-5 ADVICE: the old eager probe fired a full banding job even for
+    explain/dry-run composition, and the round-6 idle-host A/B priced it at
+    +10%/+6% on dedup_jaccard_lsh/simhash_neardup, past the verdict's 5%
+    lazy-trigger). The exclusions are NOT silent: they are a first-class
+    queryable dead-letter frame (``minhash_oversize_buckets``) pipelines
+    route/alert on. 'eager' restores the construction-time probe + WARNING
+    log (one extra action; also pre-builds the tracked bucket cache)."""
+    if accounting not in ("lazy", "eager"):
+        raise ValueError(f"unknown accounting mode: {accounting}")
     sizes = bucketed.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
-    # The accounting probe is an EAGER action at pair-frame construction
-    # time — the documented price of never capping silently. It also builds
-    # the tracked bucket cache, so the left_anti's re-aggregation of the
-    # (tiny) oversize-key frame reads cached partitions; a localCheckpoint
-    # here would pin untracked RDD blocks past cache.release_all (cache
-    # hygiene test catches that). Plan-only consumers should build edges
-    # via minhash_star_edges instead.
     over = sizes.filter(F.col("_bn") > max_bucket)
-    stats = over.agg(F.count(F.lit(1)).alias("b"),
-                     F.sum("_bn").alias("d")).first()
-    if stats["b"]:
-        _LOG.warning(
-            "%s: %d bucket(s) over max_bucket=%d (%d docs) excluded from "
-            "pairwise emission — route them through star edges / exact dedup",
-            what, stats["b"], max_bucket, stats["d"])
+    if accounting == "eager":
+        stats = over.agg(F.count(F.lit(1)).alias("b"),
+                         F.sum("_bn").alias("d")).first()
+        if stats["b"]:
+            _LOG.warning(
+                "%s: %d bucket(s) over max_bucket=%d (%d docs) excluded "
+                "from pairwise emission — route them through star edges / "
+                "exact dedup", what, stats["b"], max_bucket, stats["d"])
     return bucketed.join(over.select(*keys), keys, "left_anti")
 
 
 def minhash_pairs(docs: DataFrame,
-                  max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+                  max_bucket: int = LSH_MAX_BUCKET,
+                  accounting: str = "lazy") -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket. The band
     frame is persisted — both self-join sides would otherwise recompute the
     16-permutation signatures. Buckets larger than ``max_bucket`` are
-    excluded from the all-pairs join with logged accounting (see
-    LSH_MAX_BUCKET) — the identical-boilerplate pathology belongs to
-    dedup_exact + minhash_star_edges, not to an O(n^2) pair join."""
+    excluded from the all-pairs join (see LSH_MAX_BUCKET) — the
+    identical-boilerplate pathology belongs to dedup_exact +
+    minhash_star_edges, not to an O(n^2) pair join. Accounting is LAZY by
+    default (construction is plan-only); ``minhash_oversize_buckets`` is
+    the queryable exclusion frame, ``accounting='eager'`` restores the
+    construction-time probe + warning log.
+
+    RECALL NOTE: genuine near-dup pairs inside an excluded bucket are never
+    emitted — this is deliberate recall loss on pathological buckets, priced
+    against the O(bucket^2) blowup. The exclusions are queryable via
+    ``minhash_oversize_buckets`` (same cap): route those buckets to exact
+    dedup / star-edge clustering, which keep their components intact."""
     bands = cache.track(minhash_bands(docs))
     ok = _guard_oversize_buckets(bands, ["band_idx", "band_key"],
-                                 max_bucket, "minhash_pairs")
+                                 max_bucket, "minhash_pairs",
+                                 accounting=accounting)
     a, b = ok.alias("a"), ok.alias("b")
     return (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -778,7 +820,8 @@ def _simhash_block_bounds(max_hamming: int) -> list[tuple[int, int]]:
 
 
 def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 1,
-                          max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+                          max_bucket: int = LSH_MAX_BUCKET,
+                          accounting: str = "lazy") -> DataFrame:
     """Near-dup pairs by SimHash hamming distance (bit_count(xor) <= r).
 
     Candidates come from pigeonhole banding (see _simhash_block_bounds): each
@@ -805,7 +848,8 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 1,
              F.col("block.block_idx").alias("block_idx"),
              F.col("block.block_val").alias("block_val")))
     ok = _guard_oversize_buckets(blk, ["block_idx", "block_val"],
-                                 max_bucket, "simhash_neardup_pairs")
+                                 max_bucket, "simhash_neardup_pairs",
+                                 accounting=accounting)
     a, b = ok.alias("a"), ok.alias("b")
     ham = F.expr("bit_count(a.simhash32 ^ b.simhash32)")
     return (

@@ -448,3 +448,128 @@ def ivf_inertia(emb: DataFrame, cents: DataFrame) -> float:
     )
     best = scored.groupBy("vec_id").agg(F.max("_s").alias("best"))
     return float(best.agg(F.avg(1 - F.col("best"))).first()[0])
+
+
+def ivf_seed_scalable(emb: DataFrame, k: int = N_CENTROIDS, rounds: int = 3,
+                      oversample: int | None = None,
+                      seed: int = 42) -> DataFrame:
+    """kmeans|| sampled seeding (Bahmani et al., "Scalable k-means++",
+    VLDB'12) — the large-K path that ``ivf_seed_farthest``'s docstring
+    promised. Farthest-point seeding runs K-1 driver rounds: fine at K=8,
+    unusable at the K~10^4-10^5 a 10^9-vector corpus needs. This runs
+    O(rounds) passes TOTAL (independent of K):
+
+    1. seed candidate 0 = min vec_id (deterministic);
+    2. each round: one broadcast join (corpus x |new samples|) to refresh
+       per-vector min angular distance d2 = 1 - cos(x, nearest candidate),
+       one sum for the normalizer phi, and a Bernoulli sample with
+       p = min(1, l * d2 / phi), l = ``oversample`` (default 2k). Sampling
+       uses an md5-hash uniform per (vec_id, round, seed) — deterministic
+       and partition-order-free, so results are reproducible across
+       cluster layouts (no rand() reshuffle hazard);
+    3. weight every candidate by the number of corpus vectors nearest to it
+       (one broadcast join — the candidate set is ~1 + rounds*l rows);
+    4. deterministic weighted greedy k-center over the candidates ON THE
+       DRIVER (numpy over a tiny set): start at the max-weight candidate,
+       then repeatedly take argmax of weight * min-distance-to-chosen,
+       ties to the smaller vec_id. (Classic kmeans++ samples here; the
+       greedy variant keeps the whole pipeline RNG-free.)
+
+    Driver traffic: ~l rows per round + the candidate vectors once —
+    NOT O(K) actions, NOT the corpus. Returns (rank, vec_id) compatible
+    with ``ivf_topk(seed_ids=...)``.
+    """
+    import numpy as np
+
+    l = oversample if oversample is not None else 2 * k
+    spark = emb.sparkSession
+    e = cache.track(_with_norm(emb).select("vec_id", "embedding", "nrm"))
+
+    def dist_to(sample_ids: list[int]):
+        """(vec_id, nd2): min angular distance to the given candidates.
+        Zero-norm vectors get d2=0 — a degenerate vector must never be
+        sampled as a seed (cosine to it is undefined for every query)."""
+        s = e.filter(F.col("vec_id").isin(sample_ids)).select(
+            F.col("embedding").alias("cv"), F.col("nrm").alias("c_nrm"))
+        cos = F.try_divide(SIM_pair_dot("embedding", "cv"),
+                           F.col("nrm") * F.col("c_nrm"))
+        d2 = F.when(F.col("nrm") == 0, F.lit(0.0)).otherwise(
+            F.greatest(F.lit(0.0), F.lit(1.0) - F.coalesce(cos, F.lit(1.0))))
+        return (e.join(F.broadcast(s))
+                .select("vec_id", d2.alias("_d"))
+                .groupBy("vec_id").agg(F.min("_d").alias("nd2")))
+
+    first_id = int(e.agg(F.min("vec_id")).first()[0])
+    cand_ids = [first_id]
+    m = cache.track(dist_to([first_id])
+                    .select("vec_id", F.col("nd2").alias("d2")))
+    for r in range(rounds):
+        phi = m.agg(F.sum("d2")).first()[0]
+        if not phi:
+            break  # every vector coincides with a candidate already
+        # md5-hash uniform in [0, 1): deterministic Bernoulli, no rand()
+        u = (F.conv(F.substring(
+            F.md5(F.concat_ws("_", F.col("vec_id").cast("string"),
+                              F.lit(str(r)), F.lit(str(seed)))), 1, 8),
+            16, 10).cast("double") / F.lit(float(1 << 32)))
+        new = [int(row["vec_id"]) for row in
+               m.filter((u * F.lit(float(phi)))
+                        < (F.lit(float(l)) * F.col("d2")))
+               .select("vec_id").collect()]
+        new = [i for i in new if i not in set(cand_ids)]
+        if not new:
+            continue
+        cand_ids.extend(new)
+        m = cache.track(
+            m.join(dist_to(new), "vec_id")
+            .select("vec_id", F.least("d2", "nd2").alias("d2")))
+
+    # candidate weights: corpus points nearest to each candidate
+    cfr = e.filter(F.col("vec_id").isin(cand_ids)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"),
+        F.col("nrm").alias("c_nrm"))
+    cos = F.try_divide(SIM_pair_dot("embedding", "cv"),
+                       F.col("nrm") * F.col("c_nrm"))
+    asn = e.join(F.broadcast(cfr)).select(
+        "vec_id", "cid",
+        F.greatest(F.lit(0.0), F.lit(1.0) - F.coalesce(cos, F.lit(1.0)))
+        .alias("_d"))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("cid"))
+    weights = {int(row["cid"]): int(row["n"]) for row in
+               asn.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1)
+               .groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    # driver-side deterministic weighted greedy k-center over ~1+rounds*l
+    # candidates (tiny by construction)
+    crows = cfr.collect()
+    ids = np.array([int(row["cid"]) for row in crows])
+    vecs = np.array([list(row["cv"]) for row in crows], dtype=np.float64)
+    nrms = np.array([float(row["c_nrm"]) for row in crows])
+    ws = np.array([weights.get(int(i), 0) for i in ids], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, vecs, nrms, ws = ids[order], vecs[order], nrms[order], ws[order]
+
+    def ang(i: int) -> np.ndarray:
+        denom = nrms * nrms[i]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c = np.where(denom > 0, vecs @ vecs[i] / denom, 0.0)
+        return np.maximum(0.0, 1.0 - c)
+
+    start = int(np.lexsort((ids, -ws))[0])  # max weight, tie -> min vec_id
+    chosen = [start]
+    mind = ang(start)
+    while len(chosen) < min(k, len(ids)):
+        gain = ws * mind
+        gain[chosen] = -1.0
+        nxt = int(np.lexsort((ids, -gain))[0])
+        chosen.append(nxt)
+        mind = np.minimum(mind, ang(nxt))
+    out = [(rank, int(ids[i])) for rank, i in enumerate(chosen)]
+    if len(out) < k:  # degenerate tiny corpus: pad with smallest unused ids
+        used = {v for _, v in out}
+        pad = [int(row["vec_id"]) for row in
+               e.filter(~F.col("vec_id").isin(list(used)))
+               .orderBy("vec_id").limit(k - len(out)).collect()]
+        out += [(len(out) + j, v) for j, v in enumerate(pad)]
+    return spark.createDataFrame(out, "rank int, vec_id bigint")

@@ -249,3 +249,202 @@ SELECT doc_id, 'image/fake' AS media_type,
        CAST(64 + {checksum} % 512 AS INTEGER) AS height
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode, in-sandbox (round-5 verdict item 6): pure-Python/numpy
+# decoders for two uncompressed container formats — 24-bit BI_RGB BMP and
+# binary PPM (P6). No PIL needed; compressed formats (PNG/JPEG) stay behind
+# the PIL gate above. This makes `real` decode executable end-to-end in the
+# jar-less, lib-less sandbox: real headers, real row padding, real
+# bottom-up BMP scanline order — with an exact closed-form oracle.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+DECODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+    T.StructField("error", T.StringType()),
+])
+
+IMAGE_ERROR = "unsupported or malformed image payload"
+
+
+def decode_image_pure(payload: bytes) -> dict:
+    """Decode one BMP (24-bit uncompressed) or PPM (P6) payload into
+    (format, width, height, per-channel means). Raises
+    ValueError(IMAGE_ERROR) on anything else — dead-letter, never a crash.
+
+    BMP specifics handled for real: BGR byte order, 4-byte-aligned rows
+    (padding stripped), bottom-up scanline order (irrelevant to channel
+    means but the pixel matrix is materialized top-down correctly)."""
+    buf = bytes(payload)
+    if buf[:2] == b"BM":
+        if len(buf) < 54:
+            raise ValueError(IMAGE_ERROR)
+        data_off = int.from_bytes(buf[10:14], "little")
+        hdr_size = int.from_bytes(buf[14:18], "little")
+        w = int.from_bytes(buf[18:22], "little", signed=True)
+        h = int.from_bytes(buf[22:26], "little", signed=True)
+        bpp = int.from_bytes(buf[28:30], "little")
+        comp = int.from_bytes(buf[30:34], "little")
+        if hdr_size < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            raise ValueError(IMAGE_ERROR)
+        height = abs(h)
+        row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+        if data_off + row_bytes * height > len(buf):
+            raise ValueError(IMAGE_ERROR)
+        rows = np.frombuffer(
+            buf, np.uint8, row_bytes * height, data_off
+        ).reshape(height, row_bytes)[:, : w * 3]
+        if h > 0:
+            rows = rows[::-1]  # positive height = bottom-up scanlines
+        px = rows.reshape(height, w, 3).astype(np.float64)
+        b, g, r = px[..., 0], px[..., 1], px[..., 2]  # BGR on disk
+        return {"format": "bmp", "width": w, "height": height,
+                "mean_r": float(r.mean()), "mean_g": float(g.mean()),
+                "mean_b": float(b.mean())}
+    if buf[:3] == b"P6\n" or buf[:3] == b"P6 ":
+        # header: P6 <ws> width <ws> height <ws> maxval <single-ws> data
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(buf) and buf[pos : pos + 1].isspace():
+                pos += 1
+            start = pos
+            while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                pos += 1
+            if start == pos:
+                raise ValueError(IMAGE_ERROR)
+            try:
+                fields.append(int(buf[start:pos]))
+            except ValueError as e:
+                raise ValueError(IMAGE_ERROR) from e
+        pos += 1  # exactly one whitespace byte before pixel data
+        w, h, maxval = fields
+        if w <= 0 or h <= 0 or maxval != 255 or pos + w * h * 3 > len(buf):
+            raise ValueError(IMAGE_ERROR)
+        px = np.frombuffer(buf, np.uint8, w * h * 3, pos) \
+            .reshape(h, w, 3).astype(np.float64)
+        return {"format": "ppm", "width": w, "height": h,
+                "mean_r": float(px[..., 0].mean()),
+                "mean_g": float(px[..., 1].mean()),
+                "mean_b": float(px[..., 2].mean())}
+    raise ValueError(IMAGE_ERROR)
+
+
+def encode_bmp(width: int, height: int, pixel_bytes: bytes) -> bytes:
+    """Minimal 24-bit BI_RGB BMP writer (test/plant generator): takes the
+    UNPADDED pixel bytes in file order (BGR, bottom-up rows) and adds real
+    headers + 4-byte row padding."""
+    row = width * 3
+    row_pad = (row + 3) & ~3
+    data = b"".join(
+        pixel_bytes[y * row:(y + 1) * row] + b"\x00" * (row_pad - row)
+        for y in range(height)
+    )
+    size = 54 + len(data)
+    hdr = (b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+           + (54).to_bytes(4, "little")
+           + (40).to_bytes(4, "little")
+           + width.to_bytes(4, "little") + height.to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+           + (0).to_bytes(4, "little") + len(data).to_bytes(4, "little")
+           + (2835).to_bytes(4, "little") + (2835).to_bytes(4, "little")
+           + (0).to_bytes(4, "little") + (0).to_bytes(4, "little"))
+    return hdr + data
+
+
+def encode_ppm(width: int, height: int, pixel_bytes: bytes) -> bytes:
+    """Minimal P6 writer: RGB pixel bytes in row-major top-down order."""
+    return (f"P6\n{width} {height}\n255\n".encode("ascii")
+            + pixel_bytes[: width * height * 3])
+
+
+def plant_images(docs: DataFrame) -> DataFrame:
+    """Deterministic real-image payloads from the documents table: doc_id
+    drives dimensions and a linear-congruential pixel rule, even ids become
+    BMPs, odd ids PPMs. The pixel rule — unpadded pixel byte j carries
+    value (doc_id*7 + j) % 256 — is closed-form, so the decode oracle
+    computes expected channel means WITHOUT ever seeing the bytes: the
+    Spark side must parse real headers/padding to match it."""
+
+    def _plant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 5, 3 + d % 4
+                n = w * h * 3
+                px = bytes((d * 7 + j) % 256 for j in range(n))
+                payloads.append(encode_bmp(w, h, px) if d % 2 == 0
+                                else encode_ppm(w, h, px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        _plant, T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]))
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """REAL image decode over binary payloads via mapInPandas Arrow batches:
+    BMP/PPM parse (headers, padding, scanline order) + per-channel means.
+    Unsupported/malformed payloads dead-letter with IMAGE_ERROR."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_image_pure(bytes(payload))
+                    rows.append((int(doc_id), d["format"], d["width"],
+                                 d["height"], d["mean_r"], d["mean_g"],
+                                 d["mean_b"], None))
+                except ValueError:
+                    rows.append((int(doc_id), None, None, None, None, None,
+                                 None, IMAGE_ERROR))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in DECODE_SCHEMA])
+
+    return media.mapInPandas(_decode, DECODE_SCHEMA)
+
+
+def decode_images_oracle() -> str:
+    """Closed-form twin of plant_images + decode_images: channel means from
+    the generation rule alone. For channel c (file order), the unpadded
+    pixel bytes are j = 3*p + c over pixels p — BGR for BMP (even ids),
+    RGB for PPM (odd ids); mean_r/g/b map accordingly. The pixel index
+    rides a CONSTANT generate_series (DuckDB rejects lateral column
+    parameters there) filtered to each doc's true pixel count — the
+    frames_oracle pattern; max pixels is 8*6=48 by the dimension rule."""
+    w = "(4 + doc_id % 5)"
+    h = "(3 + doc_id % 4)"
+
+    def m(c):  # mean of channel c in FILE order
+        return (f"SUM((doc_id*7 + 3*g.p + {c}) % 256) * 1.0 "
+                f"/ ({w} * {h})")
+
+    return f"""
+WITH agg AS (
+  SELECT doc_id, {m(0)} AS m0, {m(1)} AS m1, {m(2)} AS m2
+  FROM documents CROSS JOIN generate_series(0, 47) g(p)
+  WHERE g.p < {w} * {h}
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+       CAST({w} AS INTEGER) AS width, CAST({h} AS INTEGER) AS height,
+       CASE WHEN doc_id % 2 = 0 THEN m2 ELSE m0 END AS mean_r,
+       m1 AS mean_g,
+       CASE WHEN doc_id % 2 = 0 THEN m0 ELSE m2 END AS mean_b,
+       CAST(NULL AS VARCHAR) AS error
+FROM agg
+"""

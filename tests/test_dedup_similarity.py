@@ -526,9 +526,23 @@ def test_oversize_bucket_guard_drops_loudly(spark, caplog):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     with caplog.at_level(logging.WARNING,
                          logger="logstash_codec_protobuf_spark.operators.dedup"):
-        pairs = DD.minhash_pairs(docs, max_bucket=8).collect()
+        pairs = DD.minhash_pairs(docs, max_bucket=8,
+                                 accounting="eager").collect()
     assert any("excluded from pairwise emission" in r.message
                for r in caplog.records)
+    # the DEFAULT is lazy (round-6: the eager probe cost +10% on the idle
+    # A/B and fired a full job at plan-only construction time): identical
+    # pairs, no construction-time warning, exclusions queryable instead
+    caplog.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="logstash_codec_protobuf_spark.operators.dedup"):
+        lazy_frame = DD.minhash_pairs(docs, max_bucket=8)  # plan-only
+    assert not caplog.records  # construction ran no accounting job
+    assert sorted((r["a_id"], r["b_id"]) for r in lazy_frame.collect()) \
+        == sorted((r["a_id"], r["b_id"]) for r in pairs)
+    over = {(r["band_idx"], r["band_key"]): r["n_docs"] for r in
+            DD.minhash_oversize_buckets(docs, max_bucket=8).collect()}
+    assert over and all(v == 30 for v in over.values())
     assert all(r["a_id"] >= 100 or r["b_id"] >= 100 for r in pairs) or not pairs
     # the star path needs no cap: the boilerplate component is intact there
     labels = {r["doc_id"]: r["cluster_id"]
@@ -606,3 +620,124 @@ def test_null_text_null_propagates_through_fingerprint_kernels(spark):
     w = {r["doc_id"]: r["simhash32_w"]
          for r in DD.simhash_weighted(docs).collect()}
     assert w[1] is None and w[0] is not None
+
+
+def test_kmeanspar_seeding_covers_clusters_and_is_deterministic(spark):
+    """kmeans|| sampled seeding (round-5 verdict item 4): on the planted
+    4-cluster corpus it must (a) return exactly k distinct corpus vec_ids,
+    (b) cover every cluster (the whole point of d2-weighted sampling),
+    (c) reach recall parity with farthest-point seeding at K=8 scale-down,
+    and (d) be bit-deterministic across invocations (md5-hash Bernoulli +
+    greedy selection — no RNG anywhere)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from logstash_codec_protobuf_spark.operators import ivf as IVF
+
+    dim, per, k = 8, 12, 4
+    rows, vid = [], 0
+    order = [0] * 8 + [c for c in range(4) for _ in range(per)][8:]
+    for c in order:
+        base = [math.cos(2 * math.pi * c / 4 + j) for j in range(dim)]
+        jit = [((vid * 31 + j * 7) % 11 - 5) / 200.0 for j in range(dim)]
+        rows.append(Row(vec_id=vid,
+                        embedding=[float(b + e) for b, e in zip(base, jit)]))
+        vid += 1
+    emb = spark.createDataFrame(rows)
+
+    got1 = [(r["rank"], r["vec_id"])
+            for r in IVF.ivf_seed_scalable(emb, k=k).collect()]
+    got2 = [(r["rank"], r["vec_id"])
+            for r in IVF.ivf_seed_scalable(emb, k=k).collect()]
+    assert got1 == got2  # deterministic
+    seeds = [v for _, v in sorted(got1)]
+    assert len(seeds) == k == len(set(seeds))
+    assert {order[v] for v in seeds} == {0, 1, 2, 3}, seeds
+
+    # recall parity with farthest seeding on the same corpus
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in SIM.cosine_topk(emb, n_queries=8, k=5).collect()}
+
+    def recall(seed_ids):
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in IVF.ivf_topk(emb, n_queries=8, k=5,
+                                        n_centroids=k, n_probe=1,
+                                        seed_ids=seed_ids).collect()}
+        return len(exact & approx) / len(exact)
+
+    far = [r["vec_id"] for r in IVF.ivf_seed_farthest(emb, k=k).collect()]
+    assert recall(seeds) >= recall(far) - 1e-9, (recall(seeds), recall(far))
+
+
+def test_kmeanspar_seeding_scales_to_k64_on_sf_corpus(spark):
+    """The large-K contract: K=64 seeding over the sf corpus must complete
+    in O(rounds) passes (not K-1 driver rounds) and return 64 distinct
+    usable seeds. Farthest-point at K=64 would run 63 sequential driver
+    rounds — this is the path that replaces it."""
+    from logstash_codec_protobuf_spark.operators import ivf as IVF
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    seeds = IVF.ivf_seed_scalable(emb, k=64, rounds=3).collect()
+    ids = [r["vec_id"] for r in seeds]
+    assert len(ids) == 64 == len(set(ids))
+    n = emb.count()
+    assert all(0 <= v < n for v in ids)
+
+
+def test_pure_bmp_ppm_decode_exact_fixtures():
+    """Hand-computable fixtures for the pure decoders: a 2x2 BMP (checking
+    BGR order + bottom-up rows) and a 3x1 BMP (checking 4-byte row padding
+    is stripped), plus a PPM twin and malformed payloads."""
+    import pytest
+
+    # 2x2 BMP, pixels in file order (bottom-up): row0=bottom: (B,G,R)
+    # bottom-left=(1,2,3) bottom-right=(4,5,6) top-left=(7,8,9) top-right=(10,11,12)
+    px = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])
+    d = MM.decode_image_pure(MM.encode_bmp(2, 2, px))
+    assert (d["format"], d["width"], d["height"]) == ("bmp", 2, 2)
+    assert d["mean_b"] == (1 + 4 + 7 + 10) / 4
+    assert d["mean_g"] == (2 + 5 + 8 + 11) / 4
+    assert d["mean_r"] == (3 + 6 + 9 + 12) / 4
+
+    # 3x1 BMP: row is 9 bytes -> padded to 12; padding must not leak into means
+    px = bytes(range(1, 10))
+    raw = MM.encode_bmp(3, 1, px)
+    assert len(raw) == 54 + 12  # real padded row
+    d = MM.decode_image_pure(raw)
+    assert d["width"] == 3 and d["mean_b"] == (1 + 4 + 7) / 3
+
+    # PPM: RGB order, no padding
+    d = MM.decode_image_pure(MM.encode_ppm(2, 1, bytes([9, 8, 7, 6, 5, 4])))
+    assert (d["format"], d["mean_r"], d["mean_g"], d["mean_b"]) == \
+        ("ppm", (9 + 6) / 2, (8 + 5) / 2, (7 + 4) / 2)
+
+    for junk in (b"", b"BM123", b"P6\n2 2\n255\nxx", b"\x89PNG\r\n",
+                 MM.encode_bmp(2, 2, px)[:40]):
+        with pytest.raises(ValueError, match="image payload"):
+            MM.decode_image_pure(junk)
+
+
+def test_real_image_decode_matches_closed_form_oracle(spark):
+    """End-to-end: planted BMP/PPM payloads decoded through mapInPandas must
+    match the closed-form oracle that never sees the bytes (tests the real
+    header/padding/scanline parsing, not the generator)."""
+    import duckdb
+
+    docs = load_table(spark, SF_DIR, "documents").limit(60)
+    got = {(r["doc_id"], r["format"], r["width"], r["height"],
+            round(r["mean_r"], 9), round(r["mean_g"], 9),
+            round(r["mean_b"], 9))
+           for r in MM.decode_images(MM.plant_images(docs)).collect()}
+    assert all(r[1] in ("bmp", "ppm") for r in got)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF_DIR}/documents.parquet'")
+    ids = sorted(r[0] for r in got)
+    want = {(r[0], r[1], r[2], r[3], round(r[4], 9), round(r[5], 9),
+             round(r[6], 9))
+            for r in con.execute(
+                "SELECT doc_id, format, width, height, mean_r, mean_g, "
+                "mean_b FROM (" + MM.decode_images_oracle() + ") "
+                f"WHERE doc_id IN ({','.join(map(str, ids))})").fetchall()}
+    assert got == want
