@@ -404,6 +404,175 @@ plan grows with executor count except parallelism.
     return report
 
 
+def run_wiredecode_ab(sf_dir: str, sf: str) -> dict:
+    """Wire-decode implementation A/B (round-5 verdict item 1 fallback: the
+    sandbox ships no spark-protobuf jar and no network to fetch one, so the
+    prescribed alternative is vectorizing the Python varint walk). Times the
+    decode UDF alone over a persisted payload frame — vector (numpy
+    record-transposed walker) vs scalar (per-payload Python loop) —
+    interleaved N times warm, plus the full encode+decode roundtrip both
+    ways. Done-bar from the verdict: >=2x on the decode path."""
+    from pyspark.sql import functions as F
+
+    from logstash_codec_protobuf_spark.operators import pb_wire as PW
+    from logstash_codec_protobuf_spark.operators.parse import (
+        parse_turns, split_dead_letter,
+    )
+    from logstash_codec_protobuf_spark.sources.transcripts import transcripts_df
+
+    n_ab = int(os.environ.get("SPARK_GRAFT_AB_N", "5"))
+    spark = make_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    report: dict = {"sf": sf, "n_ab": n_ab, "loadavg_start": _loadavg()}
+    try:
+        tr = transcripts_df(spark, sf_dir)
+        good, _ = split_dead_letter(parse_turns(tr, impl="native"))
+        p = F.col("parsed")
+        # replicate so per-payload UDF work dominates fixed per-task costs
+        # (at sf0.1 raw, 97k rows over 32 cores is ~3k rows/task — mostly
+        # scheduling + Arrow framing, not decode)
+        repl = int(os.environ.get("SPARK_GRAFT_AB_REPL", "10"))
+        flat = good.select(
+            *[p[c].alias(c) for c in ("conv_id", "turn_idx", "role", "tool",
+                                      "colour", "cents", "body_type", "horn",
+                                      "wings", "msg")],
+            F.explode(F.sequence(F.lit(1), F.lit(repl))).alias("_rep"),
+        ).drop("_rep").persist()
+        payloads = PW.encode_turn_wire(flat).select("payload") \
+            .repartition(128).persist()
+        n = payloads.count()
+        report["n_payloads"] = n
+        report["repl"] = repl
+
+        def decode_run(impl):
+            df = PW.decode_turn_wire(payloads, impl=impl)
+            return _consume(df.filter(F.col("decoded")["error"].isNull()))
+
+        def roundtrip_run(impl):
+            # flat is persisted above: without the barrier, projection
+            # collapse re-runs the regexp parse once per encode reference
+            dec = PW.decode_turn_wire(PW.encode_turn_wire(flat), impl=impl)
+            return _consume(dec.filter(F.col("decoded")["error"].isNull()))
+
+        # warm both paths (python worker pool + codegen)
+        decode_run("arrow"); decode_run("arrow_scalar")
+        vec, scal, vec_rt, scal_rt = [], [], [], []
+        for _ in range(n_ab):
+            vec.append(_timed(lambda: decode_run("arrow")))
+            scal.append(_timed(lambda: decode_run("arrow_scalar")))
+            vec_rt.append(_timed(lambda: roundtrip_run("arrow")))
+            scal_rt.append(_timed(lambda: roundtrip_run("arrow_scalar")))
+        payloads.unpersist()
+        flat.unpersist()
+        med = lambda xs: sorted(xs)[len(xs) // 2]
+        report.update({
+            "decode_vector_sec": [round(x, 3) for x in vec],
+            "decode_scalar_sec": [round(x, 3) for x in scal],
+            "roundtrip_vector_sec": [round(x, 3) for x in vec_rt],
+            "roundtrip_scalar_sec": [round(x, 3) for x in scal_rt],
+            "decode_vector_median": round(med(vec), 3),
+            "decode_scalar_median": round(med(scal), 3),
+            "decode_speedup": round(med(scal) / max(med(vec), 1e-9), 2),
+            "roundtrip_speedup": round(
+                med(scal_rt) / max(med(vec_rt), 1e-9), 2),
+            "decode_payloads_per_sec_vector": round(n / max(med(vec), 1e-9)),
+            "decode_payloads_per_sec_scalar": round(n / max(med(scal), 1e-9)),
+        })
+    finally:
+        spark.stop()
+    report["loadavg_end"] = _loadavg()
+    return report
+
+
+def run_guard_ab(sf_dir: str, sf: str) -> dict:
+    """Bucket-guard cost A/B (round-5 verdict item 2): dedup_jaccard_lsh and
+    simhash_neardup drifted +14-17 pct across clean r4->r5 runs, both
+    downstream of _guard_oversize_buckets' accounting. Interleaves guarded
+    vs unguarded (max_bucket=None semantics via a huge cap) N times warm on
+    the same session; if the delta is real, the guard accounting goes lazy."""
+    from logstash_codec_protobuf_spark import cache
+    from logstash_codec_protobuf_spark.operators import dedup as DD
+
+    n_ab = int(os.environ.get("SPARK_GRAFT_AB_N", "5"))
+    spark = make_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    report: dict = {"sf": sf, "n_ab": n_ab, "loadavg_start": _loadavg()}
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+        def jaccard(cap):
+            n = _consume(DD.ngram_jaccard_pairs(
+                docs, threshold=0.5, max_bucket=cap))
+            cache.release_tracked()
+            return n
+
+        def simhash(cap):
+            n = _consume(DD.simhash_neardup_pairs(docs, max_bucket=cap))
+            cache.release_tracked()
+            return n
+
+        jaccard(DD.LSH_MAX_BUCKET); simhash(DD.LSH_MAX_BUCKET)  # warm
+        res = {k: [] for k in ("jaccard_guarded", "jaccard_unguarded",
+                               "simhash_guarded", "simhash_unguarded")}
+        for _ in range(n_ab):
+            res["jaccard_guarded"].append(
+                _timed(lambda: jaccard(DD.LSH_MAX_BUCKET)))
+            res["jaccard_unguarded"].append(_timed(lambda: jaccard(10**9)))
+            res["simhash_guarded"].append(
+                _timed(lambda: simhash(DD.LSH_MAX_BUCKET)))
+            res["simhash_unguarded"].append(_timed(lambda: simhash(10**9)))
+        med = lambda xs: sorted(xs)[len(xs) // 2]
+        report.update({k: [round(x, 3) for x in v] for k, v in res.items()})
+        report.update({
+            "jaccard_guard_overhead": round(
+                med(res["jaccard_guarded"])
+                / max(med(res["jaccard_unguarded"]), 1e-9) - 1, 3),
+            "simhash_guard_overhead": round(
+                med(res["simhash_guarded"])
+                / max(med(res["simhash_unguarded"]), 1e-9) - 1, 3),
+        })
+    finally:
+        spark.stop()
+    report["loadavg_end"] = _loadavg()
+    return report
+
+
+def run_ivfseed(sf_dir: str, sf: str) -> dict:
+    """IVF seeding scale comparison (round-5 verdict item 4): farthest-point
+    runs K-1 sequential driver rounds — fine at K=8, structurally wrong at
+    large K — while kmeans|| runs O(rounds) passes independent of K. Times
+    both at K=8 and kmeans|| at K=64 on the sf embeddings (optionally
+    farthest at K=64 too, SPARK_GRAFT_IVFSEED_FARTHEST64=1, to price the
+    63-round foil)."""
+    from logstash_codec_protobuf_spark import cache
+    from logstash_codec_protobuf_spark.operators import ivf as IVF
+
+    spark = make_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    report: dict = {"sf": sf, "loadavg_start": _loadavg()}
+    try:
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        report["n_vectors"] = emb.count()
+
+        def far(k):
+            n = IVF.ivf_seed_farthest(emb, k=k).count()
+            cache.release_tracked()
+            return n
+
+        def par(k):
+            n = IVF.ivf_seed_scalable(emb, k=k).count()
+            cache.release_tracked()
+            return n
+
+        par(8)  # warm
+        report["farthest_k8_sec"] = round(_timed(lambda: far(8)), 2)
+        report["kmeanspar_k8_sec"] = round(_timed(lambda: par(8)), 2)
+        report["kmeanspar_k64_sec"] = round(_timed(lambda: par(64)), 2)
+        if os.environ.get("SPARK_GRAFT_IVFSEED_FARTHEST64"):
+            report["farthest_k64_sec"] = round(_timed(lambda: far(64)), 2)
+    finally:
+        spark.stop()
+    report["loadavg_end"] = _loadavg()
+    return report
+
+
 def run_skew(sf_dir: str, sf: str) -> dict:
     """Hot-conversation window stress: naive vs segmented sessionization on a
     replicated table where conv-hot stays ONE key (~30% of all rows in a
@@ -1040,6 +1209,18 @@ def main() -> None:
 
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir, sf)))
+        return
+
+    if "--wiredecodeab" in sys.argv:
+        print(json.dumps(run_wiredecode_ab(sf_dir, sf)))
+        return
+
+    if "--ivfseed" in sys.argv:
+        print(json.dumps(run_ivfseed(sf_dir, sf)))
+        return
+
+    if "--guardab" in sys.argv:
+        print(json.dumps(run_guard_ab(sf_dir, sf)))
         return
 
     if "--skew" in sys.argv:

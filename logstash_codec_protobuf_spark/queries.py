@@ -1858,6 +1858,17 @@ def minhash_pairs_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_star_edges(_docs(spark, sf_dir))
 
 
+@query("minhash_oversize_buckets", DD.minhash_oversize_buckets_oracle(8))
+def minhash_oversize_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucket guard's exclusions as a first-class dead-letter frame
+    (round-5 ADVICE): every LSH band bucket whose membership exceeds the cap,
+    with its doc count — what ``minhash_pairs`` drops from pairwise emission.
+    Queryable (route to exact dedup / star edges), not just a log line. The
+    cap here is 8 so the frame is non-trivial at driver SF; production uses
+    LSH_MAX_BUCKET=1024 — the semantics are cap-independent."""
+    return DD.minhash_oversize_buckets(_docs(spark, sf_dir), max_bucket=8)
+
+
 @query("simhash", DD.simhash_oracle())
 def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints over token hashes."""
@@ -2016,6 +2027,32 @@ def ivf_seed_farthest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall improvement over first-K seeding on clustered corpora is pinned
     by tests/test_dedup_similarity.py."""
     return IVF.ivf_seed_farthest(load_table(spark, sf_dir, "embeddings"))
+
+
+@query("ivf_seed_scalable")  # iterative sampled seeding: rows-only check —
+# the driver-side weighted greedy selection over kmeans|| candidates is not
+# single-statement-SQL-expressible; determinism + cluster coverage + recall
+# parity vs farthest seeding are pinned by tests/test_dedup_similarity.py
+def ivf_seed_scalable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kmeans|| sampled seeding (Bahmani VLDB'12) — the large-K seeding path
+    (round-5 verdict item 4): O(rounds) corpus passes independent of K,
+    md5-hash Bernoulli sampling (RNG-free, partition-order-free),
+    deterministic weighted greedy k-center over the tiny candidate set.
+    Replaces farthest-point's K-1 driver rounds at K~10^4-10^5."""
+    return IVF.ivf_seed_scalable(load_table(spark, sf_dir, "embeddings"))
+
+
+@query("image_decode_real", MM.decode_images_oracle())
+def image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, in-sandbox (round-5 verdict item 6): plant
+    deterministic 24-bit BMP / P6 PPM payloads from the documents table
+    (real headers, 4-byte BMP row padding, bottom-up scanlines, BGR order),
+    then parse them back with the pure-numpy decoder and report dimensions
+    + per-channel pixel means. The oracle derives the expected means from
+    the closed-form pixel rule ALONE — the Spark side only matches if the
+    container parsing is correct. Compressed formats stay PIL-gated."""
+    docs = _docs(spark, sf_dir)
+    return MM.decode_images(MM.plant_images(docs))
 
 
 @query("multimodal_frames", MM.frames_oracle())
@@ -2542,49 +2579,47 @@ def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FRONT: list[str] = [
-    # r5 rotation (round-4 verdict item 1): the window is the COMPLEMENT of
-    # r4's 50 — dedup_clusters_star first (never driver-checked in any round,
-    # now the default cluster path inside dedup_survivors), then the 20
-    # queries whose last green row is r3 and whose code the r4 interpreter
-    # fast path / kernel rewrites changed underneath (pb_wire_roundtrip,
-    # pb_wire_decode, pb_wire_encode, pb_wire_map_entries lead that group).
-    "dedup_clusters_star",
-    "pb_wire_roundtrip", "pb_wire_decode", "pb_wire_encode",
-    "pb_wire_map_entries", "parse_good", "dead_letter", "enum_symbolize",
-    "pb2_enum_passthrough", "oneof_xor", "enrich_turns", "route_counts",
-    "conv_stats", "hourly_stats", "turn_order", "conv_first_last",
-    "encode_roundtrip", "encode_autoconvert", "pb_schema_file_decode",
-    "pb2_wire_roundtrip", "pb_wire_dead_letter",
-    # new round-5 queries land here (each must be added when defined —
-    # tests/test_registration_order.py checks the window math)
-    "stream_sessionize", "stream_dedup", "encode_strict_discard",
-    "minhash_pairs_star",
-    # r4-green queries kept IN the window because round-5 code changes touch
-    # the operators under them (dedup star edges + bucket guard, ivf null
-    # ordering, wire-interpreter property-fuzz hardening)
-    "minhash_bands", "minhash_pairs", "simhash", "simhash_neardup",
-    "ngram_jaccard_pairs", "dedup_exact", "dedup_clusters", "dedup_survivors",
-    "simhash_weighted", "ivf_seed_farthest", "ivf_topk", "ivf_assign",
-    "ivf_refine_assign", "ann_cosine_topk", "ann_lsh_topk",
-    "embedding_neardup", "pb_wire_rum", "stream_wire_counts",
-    "pb_wire_struct", "pb_wire_uint64_bytes", "pb_wire_float_double",
-    "pb_wire_nested_repeated", "pb_wire_repeated_message", "pb2_wire_lineage",
-    "pb_wire_directory",
-]
-
-_TAIL: list[str] = [
-    # green in CORRECTNESS_r04.json and untouched by round-5 code changes —
-    # that fresh green row is the evidence that earns rotation past the
-    # 50-entry window this round
+    # r6 rotation (round-5 verdict item 5): the window is the complement of
+    # r5's 50 — the never-driver-checked round-6 queries first, then the 25
+    # whose last green row is r4 (they sat out exactly one round, per the
+    # rotation policy), then 22 r5-green queries re-checked because round-6
+    # code changes touch the operators under them (vectorized wire decode,
+    # DEPTH_ERROR in py_decode, lazy bucket guard, streaming dedup keys,
+    # kmeans|| additions to ivf.py).
+    "image_decode_real", "minhash_oversize_buckets", "ivf_seed_scalable",
+    # last green in r4
     "tpch_q5_local_supply", "multimodal_frames", "multimodal_resize",
     "role_cents_quantiles", "role_tool_setops", "tpch_q3_shipping",
     "tpch_q7_volume", "multimodal_features", "session_stats",
     "role_sink_matrix", "conv_tool_diversity", "nested_json_decode",
     "tpch_q1_pricing", "tpch_join_topn", "stream_hourly_counts",
-    "oneof_metainfo_off",
-    "pb2_wire_repeated_enum", "pb_schema_multifile_decode",
-    "oneof_three_option", "oneof_array_elements", "json_struct_decode",
-    "json_variant_nested", "text_stats", "lang_id", "doc_fingerprint",
+    "oneof_metainfo_off", "pb2_wire_repeated_enum",
+    "pb_schema_multifile_decode", "oneof_three_option",
+    "oneof_array_elements", "json_struct_decode", "json_variant_nested",
+    "text_stats", "lang_id", "doc_fingerprint",
+    # r5-green, re-checked: round-6 touched the code under them
+    "stream_dedup", "pb_wire_decode", "pb_wire_roundtrip", "pb_wire_encode",
+    "pb_wire_dead_letter", "pb_schema_file_decode", "pb2_wire_roundtrip",
+    "pb2_wire_lineage", "stream_wire_counts", "pb_wire_map_entries",
+    "minhash_pairs", "simhash_neardup", "ngram_jaccard_pairs",
+    "dedup_clusters", "dedup_survivors", "minhash_pairs_star",
+    "minhash_bands", "simhash", "simhash_weighted", "dedup_exact",
+    "ivf_seed_farthest", "ivf_topk",
+]
+
+_TAIL: list[str] = [
+    # green in CORRECTNESS_r05.json and untouched by round-6 code changes —
+    # that fresh green row is the evidence that earns rotation past the
+    # 50-entry window this round
+    "dedup_clusters_star", "parse_good", "dead_letter", "enum_symbolize",
+    "pb2_enum_passthrough", "oneof_xor", "enrich_turns", "route_counts",
+    "conv_stats", "hourly_stats", "turn_order", "conv_first_last",
+    "encode_roundtrip", "encode_autoconvert", "stream_sessionize",
+    "encode_strict_discard", "ivf_assign", "ivf_refine_assign",
+    "ann_cosine_topk", "ann_lsh_topk", "embedding_neardup", "pb_wire_rum",
+    "pb_wire_struct", "pb_wire_uint64_bytes", "pb_wire_float_double",
+    "pb_wire_nested_repeated", "pb_wire_repeated_message",
+    "pb_wire_directory",
 ]
 
 
