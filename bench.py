@@ -14,6 +14,9 @@ from __future__ import annotations
 
 import json
 import os
+
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+# against function globals under `from __future__ import annotations`
 import shutil
 import sys
 import tempfile
@@ -411,7 +414,15 @@ def run_wiredecode_ab(sf_dir: str, sf: str) -> dict:
     decode UDF alone over a persisted payload frame — vector (numpy
     record-transposed walker) vs scalar (per-payload Python loop) —
     interleaved N times warm, plus the full encode+decode roundtrip both
-    ways. Done-bar from the verdict: >=2x on the decode path."""
+    ways. Done-bar from the verdict: >=2x on the decode path.
+
+    Also times a PASS-THROUGH pandas UDF over the same payload frame: that
+    is the fixed Arrow serialize->python->deserialize floor both decode
+    impls pay identically, so ``decode_compute_speedup`` =
+    (scalar - floor) / (vector - floor) isolates the decode kernel itself —
+    the end-to-end ``decode_speedup`` understates the kernel win because
+    the floor dominates at this payload size (and would be paid by ANY
+    python-side impl; only the JVM from_protobuf path removes it)."""
     from pyspark.sql import functions as F
 
     from logstash_codec_protobuf_spark.operators import pb_wire as PW
@@ -447,6 +458,14 @@ def run_wiredecode_ab(sf_dir: str, sf: str) -> dict:
             df = PW.decode_turn_wire(payloads, impl=impl)
             return _consume(df.filter(F.col("decoded")["error"].isNull()))
 
+        @F.pandas_udf("int")
+        def _passthru(s: pd.Series) -> pd.Series:
+            return s.str.len().astype("int32")
+
+        def floor_run():
+            return _consume(payloads.select(_passthru("payload").alias("x"))
+                            .filter(F.col("x") >= 0))
+
         def roundtrip_run(impl):
             # flat is persisted above: without the barrier, projection
             # collapse re-runs the regexp parse once per encode reference
@@ -454,9 +473,10 @@ def run_wiredecode_ab(sf_dir: str, sf: str) -> dict:
             return _consume(dec.filter(F.col("decoded")["error"].isNull()))
 
         # warm both paths (python worker pool + codegen)
-        decode_run("arrow"); decode_run("arrow_scalar")
-        vec, scal, vec_rt, scal_rt = [], [], [], []
+        decode_run("arrow"); decode_run("arrow_scalar"); floor_run()
+        vec, scal, vec_rt, scal_rt, floor = [], [], [], [], []
         for _ in range(n_ab):
+            floor.append(_timed(floor_run))
             vec.append(_timed(lambda: decode_run("arrow")))
             scal.append(_timed(lambda: decode_run("arrow_scalar")))
             vec_rt.append(_timed(lambda: roundtrip_run("arrow")))
@@ -476,6 +496,11 @@ def run_wiredecode_ab(sf_dir: str, sf: str) -> dict:
                 med(scal_rt) / max(med(vec_rt), 1e-9), 2),
             "decode_payloads_per_sec_vector": round(n / max(med(vec), 1e-9)),
             "decode_payloads_per_sec_scalar": round(n / max(med(scal), 1e-9)),
+            "arrow_floor_sec": [round(x, 3) for x in floor],
+            "arrow_floor_median": round(med(floor), 3),
+            "decode_compute_speedup": round(
+                max(med(scal) - med(floor), 1e-9)
+                / max(med(vec) - med(floor), 1e-9), 2),
         })
     finally:
         spark.stop()
