@@ -511,9 +511,13 @@ def run_wiredecode_ab(sf_dir: str, sf: str) -> dict:
 def run_guard_ab(sf_dir: str, sf: str) -> dict:
     """Bucket-guard cost A/B (round-5 verdict item 2): dedup_jaccard_lsh and
     simhash_neardup drifted +14-17 pct across clean r4->r5 runs, both
-    downstream of _guard_oversize_buckets' accounting. Interleaves guarded
-    vs unguarded (max_bucket=None semantics via a huge cap) N times warm on
-    the same session; if the delta is real, the guard accounting goes lazy."""
+    downstream of _guard_oversize_buckets' accounting. Three interleaved
+    warm arms per consumer: 'lazy' (the new default — guard structure, no
+    construction-time action), 'eager' (r5 behavior: construction-time
+    probe + warning log), 'uncapped' (max_bucket=10^9 — guard structure
+    with an empty exclusion set; the no-guard foil). eager/lazy - 1 prices
+    the probe the verdict flagged; lazy/uncapped - 1 prices the guard's
+    sizes-agg + anti-join themselves."""
     from logstash_codec_protobuf_spark import cache
     from logstash_codec_protobuf_spark.operators import dedup as DD
 
@@ -523,37 +527,38 @@ def run_guard_ab(sf_dir: str, sf: str) -> dict:
     try:
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
-        def jaccard(cap):
+        def jaccard(cap, accounting="lazy"):
             n = _consume(DD.ngram_jaccard_pairs(
-                docs, threshold=0.5, max_bucket=cap))
+                docs, threshold=0.5, max_bucket=cap, accounting=accounting))
             cache.release_tracked()
             return n
 
-        def simhash(cap):
-            n = _consume(DD.simhash_neardup_pairs(docs, max_bucket=cap))
+        def simhash(cap, accounting="lazy"):
+            n = _consume(DD.simhash_neardup_pairs(
+                docs, max_bucket=cap, accounting=accounting))
             cache.release_tracked()
             return n
 
         jaccard(DD.LSH_MAX_BUCKET); simhash(DD.LSH_MAX_BUCKET)  # warm
-        res = {k: [] for k in ("jaccard_guarded", "jaccard_unguarded",
-                               "simhash_guarded", "simhash_unguarded")}
+        arms = {"lazy": (DD.LSH_MAX_BUCKET, "lazy"),
+                "eager": (DD.LSH_MAX_BUCKET, "eager"),
+                "uncapped": (10**9, "lazy")}
+        res = {f"{c}_{a}": [] for c in ("jaccard", "simhash") for a in arms}
         for _ in range(n_ab):
-            res["jaccard_guarded"].append(
-                _timed(lambda: jaccard(DD.LSH_MAX_BUCKET)))
-            res["jaccard_unguarded"].append(_timed(lambda: jaccard(10**9)))
-            res["simhash_guarded"].append(
-                _timed(lambda: simhash(DD.LSH_MAX_BUCKET)))
-            res["simhash_unguarded"].append(_timed(lambda: simhash(10**9)))
+            for arm, (cap, acc) in arms.items():
+                res[f"jaccard_{arm}"].append(
+                    _timed(lambda: jaccard(cap, acc)))
+                res[f"simhash_{arm}"].append(
+                    _timed(lambda: simhash(cap, acc)))
         med = lambda xs: sorted(xs)[len(xs) // 2]
         report.update({k: [round(x, 3) for x in v] for k, v in res.items()})
-        report.update({
-            "jaccard_guard_overhead": round(
-                med(res["jaccard_guarded"])
-                / max(med(res["jaccard_unguarded"]), 1e-9) - 1, 3),
-            "simhash_guard_overhead": round(
-                med(res["simhash_guarded"])
-                / max(med(res["simhash_unguarded"]), 1e-9) - 1, 3),
-        })
+        for c in ("jaccard", "simhash"):
+            report[f"{c}_eager_probe_overhead"] = round(
+                med(res[f"{c}_eager"]) / max(med(res[f"{c}_lazy"]), 1e-9)
+                - 1, 3)
+            report[f"{c}_guard_overhead"] = round(
+                med(res[f"{c}_lazy"]) / max(med(res[f"{c}_uncapped"]), 1e-9)
+                - 1, 3)
     finally:
         spark.stop()
     report["loadavg_end"] = _loadavg()

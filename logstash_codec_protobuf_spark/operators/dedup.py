@@ -70,7 +70,8 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                         k: int = 3,
-                        max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+                        max_bucket: int = LSH_MAX_BUCKET,
+                        accounting: str = "lazy") -> DataFrame:
     """Near-dup pairs by character k-gram Jaccard, candidates from MinHash LSH.
 
     The candidate generator is ``minhash_pairs`` (band-bucket equi-join,
@@ -81,7 +82,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     'LSH-candidate pairs with Jaccard >= t', mirrored exactly by the oracle.
     """
     d = SPARK
-    cand = minhash_pairs(docs, max_bucket=max_bucket)
+    cand = minhash_pairs(docs, max_bucket=max_bucket, accounting=accounting)
     shingle_col = _shingles_udf(k)(F.col("text"))
     sh = docs.select(
         "doc_id", shingle_col.alias("shingles")
@@ -334,8 +335,8 @@ def _guard_oversize_buckets(bucketed: DataFrame, keys: list[str],
     ``accounting``: the DEFAULT is 'lazy' — construction stays plan-only
     (round-5 ADVICE: the old eager probe fired a full banding job even for
     explain/dry-run composition, and the round-6 idle-host A/B priced it at
-    +10%/+6% on dedup_jaccard_lsh/simhash_neardup, past the verdict's 5%
-    lazy-trigger). The exclusions are NOT silent: they are a first-class
+    +25.7%/+11.3% on dedup_jaccard_lsh/simhash_neardup — far past the
+    verdict's 5% lazy-trigger; BENCH/guard_ab_r6.md). The exclusions are NOT silent: they are a first-class
     queryable dead-letter frame (``minhash_oversize_buckets``) pipelines
     route/alert on. 'eager' restores the construction-time probe + WARNING
     log (one extra action; also pre-builds the tracked bucket cache)."""
