@@ -472,18 +472,41 @@ def run_wiredecode_ab(sf_dir: str, sf: str) -> dict:
             dec = PW.decode_turn_wire(PW.encode_turn_wire(flat), impl=impl)
             return _consume(dec.filter(F.col("decoded")["error"].isNull()))
 
+        # third arm: the vendored JVM DynamicMessage harness (zero Python
+        # workers, no Arrow floor at all) — present when the shaded protobuf
+        # runtime is on the classpath (it ships with the Spark distro)
+        jvm_ok = PW.jvm_dynamic_available(spark)
+
         # warm both paths (python worker pool + codegen)
         decode_run("arrow"); decode_run("arrow_scalar"); floor_run()
+        if jvm_ok:
+            decode_run("jvm_dynamic"); decode_run("jvm_json")
         vec, scal, vec_rt, scal_rt, floor = [], [], [], [], []
+        jvm, jvm_js, jvm_rt = [], [], []
         for _ in range(n_ab):
             floor.append(_timed(floor_run))
             vec.append(_timed(lambda: decode_run("arrow")))
             scal.append(_timed(lambda: decode_run("arrow_scalar")))
+            if jvm_ok:
+                jvm.append(_timed(lambda: decode_run("jvm_dynamic")))
+                jvm_js.append(_timed(lambda: decode_run("jvm_json")))
+                jvm_rt.append(_timed(lambda: roundtrip_run("jvm_dynamic")))
             vec_rt.append(_timed(lambda: roundtrip_run("arrow")))
             scal_rt.append(_timed(lambda: roundtrip_run("arrow_scalar")))
         payloads.unpersist()
         flat.unpersist()
         med = lambda xs: sorted(xs)[len(xs) // 2]
+        if jvm_ok:
+            report.update({
+                "decode_jvm_dynamic_sec": [round(x, 3) for x in jvm],
+                "decode_jvm_dynamic_median": round(med(jvm), 3),
+                "decode_jvm_json_sec": [round(x, 3) for x in jvm_js],
+                "decode_jvm_json_median": round(med(jvm_js), 3),
+                "roundtrip_jvm_dynamic_sec": [round(x, 3) for x in jvm_rt],
+                "roundtrip_jvm_dynamic_median": round(med(jvm_rt), 3),
+                "decode_payloads_per_sec_jvm_dynamic": round(
+                    n / max(med(jvm), 1e-9)),
+            })
         report.update({
             "decode_vector_sec": [round(x, 3) for x in vec],
             "decode_scalar_sec": [round(x, 3) for x in scal],

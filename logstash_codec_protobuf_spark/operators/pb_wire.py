@@ -33,7 +33,9 @@ Wire parser semantics mirrored from the reference:
 
 from __future__ import annotations
 
+import base64
 import json
+import os
 import struct
 from decimal import Decimal
 
@@ -880,6 +882,282 @@ def decode_turn_wire_jvm(df: DataFrame, payload_col: str = "payload",
     )
 
 
+_JVM_WIRE_JAR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "jvm", "sparkgraft-jvm-wire.jar",
+)
+_JVM_WIRE_UDF = "sg_pb_decode_json"
+
+# from_json schema for the canonical protobuf JSON the JVM decoder prints:
+# int64-family values arrive as JSON STRINGS (proto3 JSON spec), enums as
+# names (pb3) or ints (pb2) — both land in a string column and cast after.
+_TURN_WIRE_JSON = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("tool", T.StringType()),
+    T.StructField("colour", T.StringType()),
+    T.StructField("cents", T.StringType()),
+    T.StructField("horn", T.IntegerType()),
+    T.StructField("wings", T.IntegerType()),
+    T.StructField("msg", T.StringType()),
+])
+
+
+def jvm_dynamic_available(spark) -> bool:
+    """True when the protobuf-java runtime the Spark Connect jar shades
+    (``org.sparkproject.connect.protobuf``) is on the JVM classpath — the
+    only prerequisite of the vendored ``jvm_dynamic`` decode path (the
+    engine's own harness jar rides along in the package)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.sparkproject.connect.protobuf.DynamicMessage"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _register_java_udf(spark, name: str, cls_name: str,
+                       return_type: T.DataType) -> None:
+    """Register a vendored Java UDF2 marked NON-DETERMINISTIC.
+
+    The flag is a plan-shape statement, not a semantics one (the decoders
+    are pure functions): deterministic ScalaUDF output columns get
+    SUBSTITUTED through projections by filter pushdown / projection
+    collapse, so ``decoded.error IS NULL`` above a fused
+    encode->decode plan re-inlines the whole UDF-plus-encode expression
+    into the Filter — evaluated twice per row and heavy enough to knock the
+    stage out of whole-stage codegen (measured 70x on the fused roundtrip:
+    6.5s -> 0.09s warm at 97k rows). asNondeterministic() pins exactly-once
+    evaluation. Cost: filters no longer push through the decode projection
+    — which is the hot-path-correct trade, since every downstream predicate
+    references the decode output anyway.
+
+    Registration goes through ``functions.udf(UDF2, DataType)`` via
+    explicit reflection (the typed overload py4j's resolver misses);
+    ``registerJavaFunction`` is the deterministic fallback if the internal
+    surface drifts."""
+    gw = spark.sparkContext._gateway
+    jvm = spark._jvm
+    try:
+        loader = spark._jsparkSession.sharedState().jarClassLoader()
+        inst = loader.loadClass(cls_name).newInstance()
+        jdt = jvm.org.apache.spark.sql.types.DataType.fromJson(
+            return_type.json())
+        fcls = jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.functions")
+        udf2cls = jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.api.java.UDF2")
+        dtcls = jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.types.DataType")
+        params = gw.new_array(jvm.java.lang.Class, 2)
+        params[0], params[1] = udf2cls, dtcls
+        method = fcls.getMethod("udf", params)
+        args = gw.new_array(jvm.java.lang.Object, 2)
+        args[0], args[1] = inst, jdt
+        judf = method.invoke(None, args).asNondeterministic()
+        spark._jsparkSession.udf().register(name, judf)
+    except Exception:
+        spark.udf.registerJavaFunction(name, cls_name, return_type)
+
+
+def _ensure_jvm_wire_udf(spark) -> None:
+    """Idempotently ADD JAR the vendored harness and register the
+    JSON-variant Java UDF.
+
+    ``ADD JAR`` puts the jar on the session's shared classloader (drivers
+    and executors alike), after which class resolution works — no
+    session-construction config needed, so the path works on sessions the
+    engine did not itself create (e.g. the correctness driver's)."""
+    if getattr(spark, "_sg_jvm_wire_registered", False):
+        return
+    spark.sql(f"ADD JAR '{_JVM_WIRE_JAR}'")
+    _register_java_udf(spark, _JVM_WIRE_UDF,
+                       "org.sparkgraft.WireDecodeJson", T.StringType())
+    spark._sg_jvm_wire_registered = True
+
+
+_JVM_ROW_TYPES = {
+    "string": T.StringType(), "int32": T.IntegerType(),
+    "sint32": T.IntegerType(), "int64": T.LongType(),
+    "sint64": T.LongType(), "bool": T.BooleanType(),
+    "double": T.DoubleType(), "float": T.FloatType(),
+    "bytes": T.BinaryType(),
+}
+
+
+def _jvm_row_schema(spec, proto_version: int) -> T.StructType:
+    """The StructType WireDecodeRow returns for ``spec``: wire fields in
+    descriptor order (what ``Descriptor.getFields()`` yields for the set
+    ``descriptors.descriptor_set_bytes`` emits), then one ``oneof_<group>``
+    string slot per oneof. Raises for shapes the flat JVM row path doesn't
+    cover (repeated/message/map) — callers route those to the Arrow
+    decoder."""
+    fields = []
+    groups: list[str] = []
+    for _num, f in spec.wire_fields():
+        if f.repeated or f.type.startswith("message:"):
+            raise NotImplementedError(
+                f"jvm_dynamic decodes flat scalar messages; field {f.name} "
+                f"is {f.type}{' repeated' if f.repeated else ''} — use the "
+                "arrow impl"
+            )
+        if f.type.startswith("enum:"):
+            t = T.StringType() if proto_version == 3 else T.LongType()
+        else:
+            t = _JVM_ROW_TYPES.get(f.type)
+            if t is None:
+                raise NotImplementedError(
+                    f"jvm_dynamic: unsupported field type {f.type}")
+        fields.append(T.StructField(f.name, t))
+        if f.oneof and f.oneof not in groups:
+            groups.append(f.oneof)
+    for g in groups:
+        fields.append(T.StructField(f"oneof_{g}", T.StringType()))
+    return T.StructType(fields)
+
+
+def _ensure_jvm_row_udf(spark, message: str, proto_version: int,
+                        schema: T.StructType) -> str:
+    """Idempotently ADD JAR the vendored harness and register the
+    Row-returning Java UDF under a per-(message, dialect) name — the
+    registered return type is part of the function, so each shape gets its
+    own. ``ADD JAR`` lands on the session's shared classloader, so the path
+    works on sessions the engine did not itself create (e.g. the
+    correctness driver's)."""
+    name = f"sg_pb_row_{message}_pb{proto_version}"
+    seen = getattr(spark, "_sg_jvm_wire_udfs", None)
+    if seen is None:
+        seen = set()
+        spark._sg_jvm_wire_udfs = seen
+    if name not in seen:
+        spark.sql(f"ADD JAR '{_JVM_WIRE_JAR}'")
+        _register_java_udf(spark, name, "org.sparkgraft.WireDecodeRow",
+                           schema)
+        seen.add(name)
+    return name
+
+
+def _jvm_wire_cfg(reg: SchemaRegistry, proto_version: int) -> str:
+    from ..descriptors import descriptor_set_bytes
+
+    dialect = "pb3" if proto_version == 3 else "pb2"
+    # proto3 syntax for BOTH dialects: the engine's pb2 contract keeps
+    # proto3-style default emission (decode-plan template, pb_wire.py:169)
+    # and differs only in enum passthrough, carried by the dialect flag
+    desc = descriptor_set_bytes(reg, ["turn_wire"], syntax="proto3")
+    return (base64.b64encode(desc).decode("ascii")
+            + "|sparkgraft.turn_wire|" + dialect)
+
+
+def decode_turn_wire_jvm_dynamic(df: DataFrame, payload_col: str = "payload",
+                                 registry: SchemaRegistry | None = None,
+                                 proto_version: int = 3) -> DataFrame:
+    """JVM-side decode with ZERO Python workers, runnable WITHOUT the
+    spark-protobuf jar: a vendored Java UDF (``jvm/src/.../WireDecodeRow``,
+    compiled against the protobuf-java runtime the Spark Connect jar ships
+    shaded) parses the wire bytes with ``DynamicMessage`` against the same
+    compiled FileDescriptorSet the ``from_protobuf`` path uses
+    (``descriptors.descriptor_set_bytes``) and returns the struct row
+    directly — no Arrow exchange, no JSON detour (reference hot loop:
+    protobuf.rb:212-218).
+
+    Dialect parity with the Arrow decoder: pb3 symbolizes enums and emits
+    proto3 defaults (no-presence ``getField``); pb2 passes enum codes
+    through as ints. Parse failures return NULL from the UDF -> the
+    PERMISSIVE dead-letter error row, original bytes preserved.
+
+    A canonical-JSON variant (``WireDecodeJson`` + ``from_json``) rides in
+    the same jar as ``impl='jvm_json'`` — the A/B foil that prices the
+    JSON print/parse detour this path avoids."""
+    reg = registry if registry is not None else default_registry()
+    spec = reg.messages["turn_wire"]
+    row_schema = _jvm_row_schema(spec, proto_version)
+    name = _ensure_jvm_row_udf(df.sparkSession, "turn_wire", proto_version,
+                               row_schema)
+    cfg = _jvm_wire_cfg(reg, proto_version)
+
+    out = df.withColumn(
+        "_pb", F.call_udf(name, F.col(payload_col), F.lit(cfg))
+    )
+    p = F.col("_pb")
+    decoded = F.when(p.isNull(), F.lit(None)).otherwise(
+        F.struct(
+            *[p[f.name].alias(f.name) for f in row_schema.fields],
+            F.lit(None).cast("string").alias("error"),
+        )
+    )
+    schema = TURN_WIRE_DECODED if proto_version == 3 else TURN_WIRE_DECODED_PB2
+    return (
+        out.withColumn(
+            "decoded",
+            F.coalesce(
+                decoded.cast(schema),
+                F.struct(*[
+                    (F.lit(WIRE_ERROR) if f.name == "error"
+                     else F.lit(None)).cast(f.dataType).alias(f.name)
+                    for f in schema
+                ]),
+            ),
+        )
+        .drop("_pb")
+    )
+
+
+def decode_turn_wire_jvm_json(df: DataFrame, payload_col: str = "payload",
+                              registry: SchemaRegistry | None = None,
+                              proto_version: int = 3) -> DataFrame:
+    """The canonical-JSON variant of the vendored JVM path: the
+    ``WireDecodeJson`` UDF prints protobuf canonical JSON and Catalyst's
+    ``from_json`` lands the struct. Still zero Python workers, but pays a
+    JSON print+parse detour per row — kept as the A/B foil and as the
+    shape a jar-less cluster would use if it needed the canonical-JSON
+    contract itself (e.g. sinking decoded events as JSON strings)."""
+    reg = registry if registry is not None else default_registry()
+    cfg = _jvm_wire_cfg(reg, proto_version)
+    _ensure_jvm_wire_udf(df.sparkSession)
+
+    out = df.withColumn(
+        "_pbjson",
+        F.call_udf(_JVM_WIRE_UDF, F.col(payload_col), F.lit(cfg)),
+    ).withColumn("_pb", F.from_json(F.col("_pbjson"), _TURN_WIRE_JSON))
+    p = F.col("_pb")
+    colour = (p["colour"].cast("long") if proto_version == 2
+              else p["colour"])
+    decoded = F.when(F.col("_pbjson").isNull(), F.lit(None)).otherwise(
+        F.struct(
+            p["conv_id"].alias("conv_id"),
+            p["turn_idx"].alias("turn_idx"),
+            p["role"].alias("role"), p["tool"].alias("tool"),
+            colour.alias("colour"),
+            p["cents"].cast("long").alias("cents"),
+            p["horn"].alias("horn"),
+            p["wings"].alias("wings"),
+            p["msg"].alias("msg"),
+            F.when(p["horn"].isNotNull(), F.lit("horn"))
+             .when(p["wings"].isNotNull(), F.lit("wings"))
+             .alias("oneof_body"),
+            F.lit(None).cast("string").alias("error"),
+        )
+    )
+    schema = TURN_WIRE_DECODED if proto_version == 3 else TURN_WIRE_DECODED_PB2
+    return (
+        out.withColumn(
+            "decoded",
+            F.coalesce(
+                decoded.cast(schema),
+                F.struct(*[
+                    (F.lit(WIRE_ERROR) if f.name == "error"
+                     else F.lit(None)).cast(f.dataType).alias(f.name)
+                    for f in schema
+                ]),
+            ),
+        )
+        .drop("_pb").drop("_pbjson")
+    )
+
+
 def decode_turn_wire(df: DataFrame, payload_col: str = "payload",
                      registry: SchemaRegistry | None = None,
                      proto_version: int = 3, impl: str = "auto",
@@ -891,19 +1169,29 @@ def decode_turn_wire(df: DataFrame, payload_col: str = "payload",
     ``impl``: 'auto' uses the JVM-native ``from_protobuf`` path whenever the
     spark-protobuf jar is on the classpath (no Python workers), else the
     Arrow-batch UDF (numpy record-transposed walker for flat messages);
-    'jvm'/'arrow' force a path; 'arrow_scalar' forces the per-payload
-    Python loop inside the Arrow UDF (bench A/B + parity foil).
+    'jvm'/'arrow' force a path; 'jvm_dynamic' forces the vendored
+    DynamicMessage harness (JVM-side, zero Python workers, no
+    spark-protobuf jar needed — see ``decode_turn_wire_jvm_dynamic``);
+    'arrow_scalar' forces the per-payload Python loop inside the Arrow UDF
+    (bench A/B + parity foil).
 
     ``oneof_metainfo``: mirrors the reference's ``pb3_set_oneof_metainfo``
     config (protobuf.rb:110-116, spec/codecs/pb3_decode_spec.rb:347-452 —
     whose DEFAULT is false): when disabled the chosen-member discriminator
     column is nulled; member values themselves always decode."""
-    if impl not in ("auto", "jvm", "arrow", "arrow_scalar"):
+    if impl not in ("auto", "jvm", "jvm_dynamic", "jvm_json", "arrow",
+                    "arrow_scalar"):
         raise ValueError(f"unknown decode impl: {impl}")
     if impl == "jvm" or (
         impl == "auto" and spark_protobuf_available(df.sparkSession)
     ):
         out = decode_turn_wire_jvm(df, payload_col, registry, proto_version)
+    elif impl == "jvm_dynamic":
+        out = decode_turn_wire_jvm_dynamic(df, payload_col, registry,
+                                           proto_version)
+    elif impl == "jvm_json":
+        out = decode_turn_wire_jvm_json(df, payload_col, registry,
+                                        proto_version)
     else:
         udf = _make_decode_udf(registry if registry is not None
                                else default_registry(), proto_version,

@@ -602,3 +602,64 @@ def test_value_unknown_fields_skipped_by_wire_type():
 
     with pytest.raises(ValueError):
         _decode_value(bytes([13 << 3 | 5]) + b"\x00\x00")
+
+
+# ---------------------------------------------------------------------------
+# vendored JVM DynamicMessage decode path (zero Python workers, jar-less —
+# round-5 verdict item 1; the harness compiles against the protobuf-java
+# runtime the Spark Connect jar shades)
+# ---------------------------------------------------------------------------
+
+def _require_jvm_dynamic(spark):
+    if not W.jvm_dynamic_available(spark):
+        pytest.skip("shaded protobuf runtime not on the JVM classpath")
+
+
+def test_jvm_dynamic_decode_parity(spark):
+    """Row-for-row parity: the vendored JVM decode must reproduce the Arrow
+    decoder's `decoded` struct exactly on real encoded payloads."""
+    _require_jvm_dynamic(spark)
+    enc = W.encode_turn_wire(_flat(spark)).cache()
+    try:
+        cols = [F.col("decoded")[f.name].alias(f.name)
+                for f in W.TURN_WIRE_DECODED]
+        arrow = W.decode_turn_wire(enc, impl="arrow").select(*cols)
+        jvm = W.decode_turn_wire(enc, impl="jvm_dynamic").select(*cols)
+        a = sorted(map(tuple, arrow.collect()))
+        j = sorted(map(tuple, jvm.collect()))
+        assert len(j) > 900
+        assert a == j
+    finally:
+        enc.unpersist()
+
+
+def test_jvm_dynamic_dead_letter_and_plan(spark):
+    _require_jvm_dynamic(spark)
+    corrupt = spark.createDataFrame(
+        [(bytearray(b"\xff"),), (None,)], "payload binary"
+    )
+    out = W.decode_turn_wire(corrupt, impl="jvm_dynamic")
+    errs = [r[0] for r in
+            out.select(F.col("decoded")["error"]).collect()]
+    assert errs == [W.WIRE_ERROR, W.WIRE_ERROR]
+    # zero Python workers: the plan must contain no Arrow/Batch eval node
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_jvm_dynamic_pb2_dialect_parity(spark):
+    """pb2: enum codes pass through as ints and absent fields stay null —
+    same contract as the Arrow decoder's proto_version=2 output."""
+    _require_jvm_dynamic(spark)
+    enc = W.encode_turn_wire(_flat(spark)).limit(300).cache()
+    try:
+        cols = [F.col("decoded")[f.name].alias(f.name)
+                for f in W.TURN_WIRE_DECODED_PB2]
+        arrow = W.decode_turn_wire(enc, impl="arrow",
+                                   proto_version=2).select(*cols)
+        jvm = W.decode_turn_wire(enc, impl="jvm_dynamic",
+                                 proto_version=2).select(*cols)
+        assert sorted(map(tuple, arrow.collect())) == \
+            sorted(map(tuple, jvm.collect()))
+    finally:
+        enc.unpersist()
