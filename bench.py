@@ -181,6 +181,32 @@ def bench_queries(spark, sf_dir: str, rounds: int = 2
         finally:
             flat.unpersist()
 
+    # the at-scale ingest shape: wire payloads pre-exist in storage (Kafka /
+    # parquet), decode is scan -> decode -> consume. Staged once like the
+    # transcripts table, replicated x10 so per-payload decode work dominates
+    # per-task fixed costs (raw sf0.1 is ~3k rows/task — pure scheduling;
+    # same sizing as --wiredecodeab). The JVM DynamicMessage path (zero
+    # Python workers, BENCH/jvm_wire_decode_r6.md) is the headline, the
+    # Arrow vector path rides as the per-round comparison twin.
+    from logstash_codec_protobuf_spark.operators import pb_wire as _PW
+    pay_path = tempfile.mkdtemp(prefix="bench_pay_")
+    _good0, _ = split_dead_letter(parse_turns(tr, impl="native"))
+    _p0 = F.col("parsed")
+    _PW.encode_turn_wire(_good0.select(
+        *[_p0[c].alias(c) for c in ("conv_id", "turn_idx", "role", "tool",
+                                    "colour", "cents", "body_type", "horn",
+                                    "wings", "msg")],
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("_rep"),
+    ).drop("_rep")).select("payload").repartition(64) \
+        .write.mode("overwrite").parquet(pay_path)
+    payloads_stored = spark.read.parquet(pay_path)
+
+    def decode_stored_run(impl):
+        def run():
+            dec = _PW.decode_turn_wire(payloads_stored, impl=impl)
+            return _consume(dec.filter(F.col("decoded")["error"].isNull()))
+        return run
+
     cases = {
         "parse_route_native": routed_counts("native"),
         "parse_route_arrow": routed_counts("arrow"),
@@ -188,6 +214,9 @@ def bench_queries(spark, sf_dir: str, rounds: int = 2
         "hourly_stats": hourly_run,
         "encode_roundtrip": encode_run,
         "pb_wire_roundtrip": pb_wire_run,
+        **({"pb_wire_decode_stored_jvm": decode_stored_run("jvm_dynamic")}
+           if _PW.jvm_dynamic_available(spark) else {}),
+        "pb_wire_decode_stored_arrow": decode_stored_run("arrow"),
         "session_stats_naive_window": session_run(False),
         "session_stats_segmented": session_run(True),
         "dedup_jaccard_lsh": dedup_run,
@@ -219,6 +248,7 @@ def bench_queries(spark, sf_dir: str, rounds: int = 2
             times[name] = round(time.time() - t0, 3)
         runs.append({"times": times, "loadavg_start": load0})
     shutil.rmtree(tr_path, ignore_errors=True)
+    shutil.rmtree(pay_path, ignore_errors=True)
     best = {
         name: min(r["times"][name] for r in runs)
         for name in runs[0]["times"]
