@@ -663,3 +663,37 @@ def test_jvm_dynamic_pb2_dialect_parity(spark):
             sorted(map(tuple, jvm.collect()))
     finally:
         enc.unpersist()
+
+
+def test_jvm_row_schema_guards():
+    """The flat JVM row path must refuse shapes it can't decode (repeated /
+    nested message fields) loudly, routing callers to the Arrow impl."""
+    reg = default_registry()
+    # turn_wire itself is accepted, fields in wire order + oneof slot
+    s = W._jvm_row_schema(reg.messages["turn_wire"], 3)
+    assert s.fieldNames()[-1] == "oneof_body"
+    assert [f.name for f in s.fields[:4]] == [
+        "conv_id", "turn_idx", "role", "tool"]
+    # pb2 dialect: enum slot becomes LONG
+    s2 = W._jvm_row_schema(reg.messages["turn_wire"], 2)
+    assert s2["colour"].dataType.typeName() == "long"
+    assert s["colour"].dataType.typeName() == "string"
+    # a message with nested/repeated fields is refused loudly
+    with pytest.raises(NotImplementedError):
+        W._jvm_row_schema(reg.messages["directory"], 3)
+
+
+def test_jvm_json_foil_parity(spark):
+    """The canonical-JSON variant (impl='jvm_json') must produce the same
+    decoded struct as the Row path on real payloads."""
+    _require_jvm_dynamic(spark)
+    enc = W.encode_turn_wire(_flat(spark)).limit(300).cache()
+    try:
+        cols = [F.col("decoded")[f.name].alias(f.name)
+                for f in W.TURN_WIRE_DECODED]
+        row = W.decode_turn_wire(enc, impl="jvm_dynamic").select(*cols)
+        js = W.decode_turn_wire(enc, impl="jvm_json").select(*cols)
+        assert sorted(map(tuple, row.collect())) == \
+            sorted(map(tuple, js.collect()))
+    finally:
+        enc.unpersist()
