@@ -335,6 +335,8 @@ def decode_image_pure(payload: bytes) -> dict:
                 "mean_r": float(px[..., 0].mean()),
                 "mean_g": float(px[..., 1].mean()),
                 "mean_b": float(px[..., 2].mean())}
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(buf)
     raise ValueError(IMAGE_ERROR)
 
 
@@ -366,13 +368,150 @@ def encode_ppm(width: int, height: int, pixel_bytes: bytes) -> bytes:
             + pixel_bytes[: width * height * 3])
 
 
+# ---------------------------------------------------------------------------
+# PNG (RGB8, non-interlaced) — REAL decode via stdlib zlib: chunk walk with
+# CRC verification, IHDR validation, IDAT inflate, and all five scanline
+# defilters (None/Sub/Up/Average/Paeth). The planted writer applies a
+# DIFFERENT filter per row (y % 5) so the decoder's defilter math is
+# exercised end-to-end, not just filter-0 passthrough. JPEG (DCT) stays
+# PIL-gated — there is no stdlib inverse DCT.
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+import zlib as _zlib
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (_struct.pack(">I", len(data)) + ctype + data
+            + _struct.pack(">I", _zlib.crc32(ctype + data)))
+
+
+def encode_png(width: int, height: int, pixel_bytes: bytes) -> bytes:
+    """Minimal RGB8 PNG writer (test/plant generator): real signature,
+    IHDR/IDAT/IEND chunks with CRCs, zlib-compressed scanlines, and filter
+    type y % 5 on row y — every planted image with height >= 5 carries all
+    five filters, so means only match if the defilters are right."""
+    bpp = 3
+    stride = width * bpp
+    out = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        raw = pixel_bytes[y * stride:(y + 1) * stride]
+        f = y % 5
+        out.append(f)
+        for x in range(stride):
+            left = raw[x - bpp] if x >= bpp else 0
+            up = prior[x]
+            upleft = prior[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = _paeth(left, up, upleft)
+            out.append((raw[x] - pred) & 0xFF)
+        prior = raw
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _decode_png(buf: bytes) -> dict:
+    """Parse one RGB8 non-interlaced PNG: verify chunk CRCs, validate IHDR,
+    inflate IDAT, reverse the per-row filter. Anything off-contract raises
+    ValueError(IMAGE_ERROR) -> dead-letter."""
+    pos, ihdr, idat = 8, None, bytearray()
+    try:
+        while pos < len(buf):
+            (length,) = _struct.unpack_from(">I", buf, pos)
+            ctype = buf[pos + 4:pos + 8]
+            data = buf[pos + 8:pos + 8 + length]
+            (crc,) = _struct.unpack_from(">I", buf, pos + 8 + length)
+            if len(data) != length or _zlib.crc32(ctype + data) != crc:
+                raise ValueError(IMAGE_ERROR)
+            if ctype == b"IHDR":
+                ihdr = _struct.unpack(">IIBBBBB", data)
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+    except _struct.error as e:
+        raise ValueError(IMAGE_ERROR) from e
+    if ihdr is None:
+        raise ValueError(IMAGE_ERROR)
+    w, h, depth, ctype_code, comp, filt, interlace = ihdr
+    if (w <= 0 or h <= 0 or depth != 8 or ctype_code != 2 or comp != 0
+            or filt != 0 or interlace != 0):
+        raise ValueError(IMAGE_ERROR)
+    try:
+        raw = _zlib.decompress(bytes(idat))
+    except _zlib.error as e:
+        raise ValueError(IMAGE_ERROR) from e
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError(IMAGE_ERROR)
+    px = bytearray(h * stride)
+    prior = bytes(stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+        recon = bytearray(stride)
+        if f == 0:
+            recon[:] = line
+        elif f == 2:
+            recon[:] = ((np.frombuffer(line, np.uint8)
+                         + np.frombuffer(prior, np.uint8))
+                        .astype(np.uint8).tobytes())
+        else:
+            for x in range(stride):
+                left = recon[x - bpp] if x >= bpp else 0
+                up = prior[x]
+                upleft = prior[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) >> 1
+                elif f == 4:
+                    pred = _paeth(left, up, upleft)
+                else:
+                    raise ValueError(IMAGE_ERROR)
+                recon[x] = (line[x] + pred) & 0xFF
+        px[y * stride:(y + 1) * stride] = recon
+        prior = bytes(recon)
+    arr = np.frombuffer(bytes(px), np.uint8).reshape(h, w, 3) \
+        .astype(np.float64)
+    return {"format": "png", "width": w, "height": h,
+            "mean_r": float(arr[..., 0].mean()),
+            "mean_g": float(arr[..., 1].mean()),
+            "mean_b": float(arr[..., 2].mean())}
+
+
 def plant_images(docs: DataFrame) -> DataFrame:
     """Deterministic real-image payloads from the documents table: doc_id
-    drives dimensions and a linear-congruential pixel rule, even ids become
-    BMPs, odd ids PPMs. The pixel rule — unpadded pixel byte j carries
-    value (doc_id*7 + j) % 256 — is closed-form, so the decode oracle
-    computes expected channel means WITHOUT ever seeing the bytes: the
-    Spark side must parse real headers/padding to match it."""
+    drives dimensions and a linear-congruential pixel rule; ids divisible
+    by 3 become PNGs (zlib-compressed, per-row filter variety), remaining
+    even ids BMPs, remaining odd ids PPMs. The pixel rule — unpadded pixel
+    byte j carries value (doc_id*7 + j) % 256 — is closed-form, so the
+    decode oracle computes expected channel means WITHOUT ever seeing the
+    bytes: the Spark side must parse real headers/padding/filters/CRCs to
+    match it."""
 
     def _plant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -382,8 +521,12 @@ def plant_images(docs: DataFrame) -> DataFrame:
                 w, h = 4 + d % 5, 3 + d % 4
                 n = w * h * 3
                 px = bytes((d * 7 + j) % 256 for j in range(n))
-                payloads.append(encode_bmp(w, h, px) if d % 2 == 0
-                                else encode_ppm(w, h, px))
+                if d % 3 == 0:
+                    payloads.append(encode_png(w, h, px))
+                elif d % 2 == 0:
+                    payloads.append(encode_bmp(w, h, px))
+                else:
+                    payloads.append(encode_ppm(w, h, px))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
 
@@ -420,13 +563,16 @@ def decode_images(media: DataFrame) -> DataFrame:
 def decode_images_oracle() -> str:
     """Closed-form twin of plant_images + decode_images: channel means from
     the generation rule alone. For channel c (file order), the unpadded
-    pixel bytes are j = 3*p + c over pixels p — BGR for BMP (even ids),
-    RGB for PPM (odd ids); mean_r/g/b map accordingly. The pixel index
-    rides a CONSTANT generate_series (DuckDB rejects lateral column
-    parameters there) filtered to each doc's true pixel count — the
-    frames_oracle pattern; max pixels is 8*6=48 by the dimension rule."""
+    pixel bytes are j = 3*p + c over pixels p — BGR for BMP, RGB for PNG
+    and PPM; mean_r/g/b map accordingly (format rule: doc_id%3=0 png, else
+    even bmp / odd ppm). The pixel index rides a CONSTANT generate_series
+    (DuckDB rejects lateral column parameters there) filtered to each doc's
+    true pixel count — the frames_oracle pattern; max pixels is 8*6=48 by
+    the dimension rule. The oracle never touches zlib or filters: only a
+    byte-correct defilter on the Spark side reproduces these means."""
     w = "(4 + doc_id % 5)"
     h = "(3 + doc_id % 4)"
+    is_bmp = "(doc_id % 3 <> 0 AND doc_id % 2 = 0)"
 
     def m(c):  # mean of channel c in FILE order
         return (f"SUM((doc_id*7 + 3*g.p + {c}) % 256) * 1.0 "
@@ -440,11 +586,12 @@ WITH agg AS (
   GROUP BY doc_id
 )
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+       CASE WHEN doc_id % 3 = 0 THEN 'png'
+            WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
        CAST({w} AS INTEGER) AS width, CAST({h} AS INTEGER) AS height,
-       CASE WHEN doc_id % 2 = 0 THEN m2 ELSE m0 END AS mean_r,
+       CASE WHEN {is_bmp} THEN m2 ELSE m0 END AS mean_r,
        m1 AS mean_g,
-       CASE WHEN doc_id % 2 = 0 THEN m0 ELSE m2 END AS mean_b,
+       CASE WHEN {is_bmp} THEN m0 ELSE m2 END AS mean_b,
        CAST(NULL AS VARCHAR) AS error
 FROM agg
 """

@@ -729,7 +729,8 @@ def test_real_image_decode_matches_closed_form_oracle(spark):
             round(r["mean_r"], 9), round(r["mean_g"], 9),
             round(r["mean_b"], 9))
            for r in MM.decode_images(MM.plant_images(docs)).collect()}
-    assert all(r[1] in ("bmp", "ppm") for r in got)
+    formats = {r[1] for r in got}
+    assert formats == {"png", "bmp", "ppm"}  # all three planted containers
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"'{SF_DIR}/documents.parquet'")
@@ -741,3 +742,42 @@ def test_real_image_decode_matches_closed_form_oracle(spark):
                 "mean_b FROM (" + MM.decode_images_oracle() + ") "
                 f"WHERE doc_id IN ({','.join(map(str, ids))})").fetchall()}
     assert got == want
+
+
+def test_png_pure_decode_filters_and_dead_letters():
+    """RGB8 PNG: the planted writer filters row y with type y%5, so a 6-row
+    image exercises None/Sub/Up/Average/Paeth — means only match when every
+    defilter is byte-correct. Chunk CRCs are verified; off-contract IHDRs
+    (depth/colour/interlace) and truncations dead-letter."""
+    import struct
+    import zlib
+
+    import pytest
+
+    w, h = 8, 6  # max planted dims; rows carry filters 0,1,2,3,4,0
+    px = bytes((11 * 7 + j) % 256 for j in range(w * h * 3))
+    raw = MM.encode_png(w, h, px)
+    d = MM.decode_image_pure(raw)
+    n = w * h
+    assert (d["format"], d["width"], d["height"]) == ("png", w, h)
+    assert d["mean_r"] == sum((11 * 7 + 3 * p) % 256 for p in range(n)) / n
+    assert d["mean_b"] == sum((11 * 7 + 3 * p + 2) % 256
+                              for p in range(n)) / n
+
+    # flipped byte inside IDAT -> CRC mismatch -> dead letter
+    bad = bytearray(raw)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="image payload"):
+        MM.decode_image_pure(bytes(bad))
+
+    # truncated mid-chunk
+    with pytest.raises(ValueError, match="image payload"):
+        MM.decode_image_pure(raw[:30])
+
+    # valid CRCs but off-contract IHDR (16-bit depth) -> dead letter
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    fake = (b"\x89PNG\r\n\x1a\n" + MM._png_chunk(b"IHDR", ihdr16)
+            + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+            + MM._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="image payload"):
+        MM.decode_image_pure(fake)
