@@ -5,12 +5,16 @@ decode / feature-extraction runs as Arrow-batched pandas UDFs over
 ``mapInPandas`` so each Python worker sees whole record batches (the only sane
 shape at 100 TB — never per-row Python).
 
-The decode step itself is STUBBED: the container has no image/audio libraries,
-so ``decode_image`` raises NotImplementedError unless PIL is importable, and
-the default feature extractor computes deterministic fake features (byte
-length, prefix checksum, derived width/height). The Spark-side plumbing —
-schema, Arrow batch iteration, partitioning — is real and tested, and the fake
-features are reproducible in SQL, giving the plumbing an exact oracle.
+Real, stdlib-only decoders cover the formats that don't need codec
+libraries: RGB8 PNG (zlib + all five defilters), 24-bit BMP, P6 PPM
+(``decode_image_pure``) and RIFF/PCM16 WAV audio (``decode_audio_pure``) —
+each with planted payloads and closed-form oracles. Codec-bound formats
+(JPEG/MP3/AAC/video) stay gated: ``decode_image`` raises
+NotImplementedError unless PIL is importable, and the default feature
+extractor computes deterministic fake features (byte length, prefix
+checksum, derived width/height). Either way the Spark-side plumbing —
+schema, Arrow batch iteration, partitioning — is real and tested, and the
+fake features are reproducible in SQL, giving the plumbing an exact oracle.
 """
 
 from __future__ import annotations
@@ -592,6 +596,163 @@ SELECT doc_id,
        CASE WHEN {is_bmp} THEN m2 ELSE m0 END AS mean_r,
        m1 AS mean_g,
        CASE WHEN {is_bmp} THEN m0 ELSE m2 END AS mean_b,
+       CAST(NULL AS VARCHAR) AS error
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF / PCM16) — REAL audio decode, stdlib-only: RIFF chunk walk,
+# fmt validation, little-endian int16 frames via numpy. Extends the real
+# in-sandbox decode tier from images to audio; lossy codecs (MP3/AAC) stay
+# gated exactly like JPEG — no stdlib DCT/MDCT.
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("peak_abs", T.IntegerType()),
+    T.StructField("mean_sample", T.DoubleType()),
+    T.StructField("mean_square", T.DoubleType()),
+    T.StructField("error", T.StringType()),
+])
+
+AUDIO_ERROR = "unsupported or malformed audio payload"
+
+
+def encode_wav(n_channels: int, sample_rate: int, samples: bytes) -> bytes:
+    """Minimal RIFF/WAVE PCM16 writer (test/plant generator): canonical
+    44-byte header + interleaved little-endian int16 frames."""
+    block = n_channels * 2
+    fmt = _struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                       sample_rate * block, block, 16)
+    body = (b"WAVE"
+            + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(samples)) + samples)
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def decode_audio_pure(payload: bytes) -> dict:
+    """Parse one PCM16 WAV: real RIFF chunk walk (fmt before data, unknown
+    chunks skipped with word alignment), fmt validation, int16 frame
+    decode. Raises ValueError(AUDIO_ERROR) on anything off-contract —
+    dead-letter, never a crash."""
+    buf = bytes(payload)
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError(AUDIO_ERROR)
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        ctype = buf[pos:pos + 4]
+        (length,) = _struct.unpack_from("<I", buf, pos + 4)
+        chunk = buf[pos + 8:pos + 8 + length]
+        if len(chunk) != length:
+            raise ValueError(AUDIO_ERROR)
+        if ctype == b"fmt ":
+            if length < 16:
+                raise ValueError(AUDIO_ERROR)
+            fmt = _struct.unpack_from("<HHIIHH", chunk)
+        elif ctype == b"data":
+            data = chunk
+        pos += 8 + length + (length & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError(AUDIO_ERROR)
+    audio_format, nch, rate, byte_rate, block, bits = fmt
+    if (audio_format != 1 or bits != 16 or nch < 1 or rate <= 0
+            or block != nch * 2 or byte_rate != rate * block
+            or len(data) % block != 0):
+        raise ValueError(AUDIO_ERROR)
+    x = np.frombuffer(data, "<i2").astype(np.int64)
+    n = int(x.size)
+    if n == 0:
+        raise ValueError(AUDIO_ERROR)
+    return {"n_channels": nch, "sample_rate": rate,
+            "n_frames": n // nch,
+            "peak_abs": int(np.abs(x).max()),
+            "mean_sample": float(x.mean()),
+            "mean_square": float((x * x).mean())}
+
+
+def plant_audio(docs: DataFrame) -> DataFrame:
+    """Deterministic real-WAV payloads from the documents table: doc_id
+    drives channel count (1 + doc_id%2), sample rate (8000 + 1000*(d%3))
+    and a closed-form int16 sample rule — file-order sample s carries
+    ((doc_id*31 + 7*s) % 65536) - 32768 — so the decode oracle computes
+    peak/mean/mean-square WITHOUT ever seeing the bytes."""
+
+    def _plant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nch = 1 + d % 2
+                rate = 8000 + 1000 * (d % 3)
+                n = nch * (50 + d % 40)
+                vals = np.array(
+                    [((d * 31 + 7 * s) % 65536) - 32768 for s in range(n)],
+                    dtype="<i2")
+                payloads.append(encode_wav(nch, rate, vals.tobytes()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        _plant, T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]))
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """REAL audio decode over binary payloads via mapInPandas Arrow batches:
+    RIFF/PCM16 parse + sample statistics. Unsupported/malformed payloads
+    dead-letter with AUDIO_ERROR."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    a = decode_audio_pure(bytes(payload))
+                    rows.append((int(doc_id), a["n_channels"],
+                                 a["sample_rate"], a["n_frames"],
+                                 a["peak_abs"], a["mean_sample"],
+                                 a["mean_square"], None))
+                except ValueError:
+                    rows.append((int(doc_id), None, None, None, None, None,
+                                 None, AUDIO_ERROR))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in AUDIO_SCHEMA])
+
+    return media.mapInPandas(_decode, AUDIO_SCHEMA)
+
+
+def decode_audio_oracle() -> str:
+    """Closed-form twin of plant_audio + decode_audio: sample statistics
+    from the generation rule alone — the Spark side only matches when the
+    RIFF chunk walk and int16 frame decode are byte-correct. The sample
+    index rides a CONSTANT generate_series filtered to each doc's true
+    sample count (max 2*(50+39)=178 by the rule)."""
+    nch = "(1 + doc_id % 2)"
+    n = f"({nch} * (50 + doc_id % 40))"
+    v = "(((doc_id*31 + 7*g.s) % 65536) - 32768)"
+    return f"""
+WITH agg AS (
+  SELECT doc_id,
+         MAX(ABS({v})) AS peak,
+         SUM({v}) * 1.0 / {n} AS m1,
+         SUM({v} * {v}) * 1.0 / {n} AS m2
+  FROM documents CROSS JOIN generate_series(0, 177) g(s)
+  WHERE g.s < {n}
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({nch} AS INTEGER) AS n_channels,
+       CAST(8000 + 1000 * (doc_id % 3) AS INTEGER) AS sample_rate,
+       CAST({n} / {nch} AS INTEGER) AS n_frames,
+       CAST(peak AS INTEGER) AS peak_abs,
+       m1 AS mean_sample,
+       m2 AS mean_square,
        CAST(NULL AS VARCHAR) AS error
 FROM agg
 """

@@ -2082,6 +2082,21 @@ def image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_images(MM.plant_images(docs))
 
 
+@query("audio_decode_real", MM.decode_audio_oracle())
+def audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, in-sandbox: plant deterministic RIFF/PCM16 WAV
+    payloads from the documents table (real 44-byte headers, word-aligned
+    chunk walk, interleaved little-endian int16 frames, mono/stereo by
+    doc parity), then parse them back with the stdlib-only decoder and
+    report channel count, rate, frames, peak and sample moments. The
+    oracle derives every statistic from the closed-form sample rule
+    ALONE — the Spark side only matches if the RIFF parse and the int16
+    frame decode are byte-correct. Lossy codecs (MP3/AAC) stay gated
+    like JPEG: no stdlib MDCT."""
+    docs = _docs(spark, sf_dir)
+    return MM.decode_audio(MM.plant_audio(docs))
+
+
 @query("multimodal_frames", MM.frames_oracle())
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary media payloads: 1:N mapInPandas exploding
@@ -2613,8 +2628,8 @@ _FRONT: list[str] = [
     # code changes touch the operators under them (vectorized wire decode,
     # DEPTH_ERROR in py_decode, lazy bucket guard, streaming dedup keys,
     # kmeans|| additions to ivf.py).
-    "pb_wire_decode_jvmdyn", "image_decode_real", "minhash_oversize_buckets",
-    "ivf_seed_scalable",
+    "pb_wire_decode_jvmdyn", "audio_decode_real", "image_decode_real",
+    "minhash_oversize_buckets", "ivf_seed_scalable",
     # last green in r4
     "tpch_q5_local_supply", "multimodal_frames", "multimodal_resize",
     "role_cents_quantiles", "role_tool_setops", "tpch_q3_shipping",
@@ -2632,18 +2647,18 @@ _FRONT: list[str] = [
     "minhash_pairs", "simhash_neardup", "ngram_jaccard_pairs",
     "dedup_clusters", "dedup_survivors", "minhash_pairs_star",
     "minhash_bands", "simhash", "simhash_weighted", "dedup_exact",
-    "ivf_seed_farthest",
-    # ivf_topk moved to _TAIL to fit pb_wire_decode_jvmdyn in the window:
-    # of the two additive-only ivf re-checks it has the weaker claim (the
-    # kmeans|| commit appends after ivf.py:448; neither path changed)
+    # ivf_topk and ivf_seed_farthest moved to _TAIL to fit
+    # pb_wire_decode_jvmdyn and audio_decode_real in the window: the
+    # additive-only ivf re-checks have the weakest claim (the kmeans||
+    # commit appends after ivf.py:448; neither existing path changed)
 ]
 
 _TAIL: list[str] = [
     # green in CORRECTNESS_r05.json and untouched by round-6 code changes —
     # that fresh green row is the evidence that earns rotation past the
     # 50-entry window this round
-    "ivf_topk", "dedup_clusters_star", "parse_good", "dead_letter",
-    "enum_symbolize",
+    "ivf_topk", "ivf_seed_farthest", "dedup_clusters_star", "parse_good",
+    "dead_letter", "enum_symbolize",
     "pb2_enum_passthrough", "oneof_xor", "enrich_turns", "route_counts",
     "conv_stats", "hourly_stats", "turn_order", "conv_first_last",
     "encode_roundtrip", "encode_autoconvert", "stream_sessionize",

@@ -781,3 +781,33 @@ def test_png_pure_decode_filters_and_dead_letters():
             + MM._png_chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="image payload"):
         MM.decode_image_pure(fake)
+
+
+def test_wav_pure_decode_and_dead_letters():
+    """RIFF/PCM16 WAV: real chunk walk (word alignment, unknown chunks
+    skipped), fmt validation, int16 frame stats; off-contract payloads
+    dead-letter."""
+    import numpy as np
+    import pytest
+
+    vals = [0, 100, -100, 32767, -32768, 7]
+    raw = MM.encode_wav(2, 9000, np.array(vals, dtype="<i2").tobytes())
+    a = MM.decode_audio_pure(raw)
+    assert (a["n_channels"], a["sample_rate"], a["n_frames"]) == (2, 9000, 3)
+    assert a["peak_abs"] == 32768
+    assert a["mean_sample"] == sum(vals) / len(vals)
+    assert a["mean_square"] == sum(v * v for v in vals) / len(vals)
+
+    # unknown odd-length chunk before fmt/data must be skipped word-aligned
+    import struct
+    chunks = raw[12:]  # fmt + data chunks verbatim
+    inner = (b"WAVE" + b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # odd+pad
+             + chunks)
+    padded = b"RIFF" + struct.pack("<I", len(inner)) + inner
+    assert MM.decode_audio_pure(padded)["n_frames"] == 3
+
+    for junk in (b"", b"RIFF\x00\x00\x00\x00WAVE", raw[:20],
+                 MM.encode_wav(1, 8000, b""),  # zero samples
+                 raw.replace(b"fmt ", b"fmx ")):  # no fmt chunk
+        with pytest.raises(ValueError, match="audio payload"):
+            MM.decode_audio_pure(junk)
