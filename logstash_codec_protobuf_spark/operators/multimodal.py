@@ -341,6 +341,8 @@ def decode_image_pure(payload: bytes) -> dict:
                 "mean_b": float(px[..., 2].mean())}
     if buf[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(buf)
+    if buf[:4] == b"GIF8":
+        return _decode_gif(buf)
     raise ValueError(IMAGE_ERROR)
 
 
@@ -509,15 +511,21 @@ def _decode_png(buf: bytes) -> dict:
 
 def plant_images(docs: DataFrame) -> DataFrame:
     """Deterministic real-image payloads from the documents table: doc_id
-    drives dimensions and a linear-congruential pixel rule; ids divisible
-    by 3 become PNGs (zlib-compressed, per-row filter variety), remaining
-    even ids BMPs, remaining odd ids PPMs. The pixel rule — unpadded pixel
-    byte j carries value (doc_id*7 + j) % 256 — is closed-form, so the
+    drives dimensions and closed-form pixel rules; ids divisible by 3
+    become PNGs (zlib-compressed, per-row filter variety), remaining even
+    ids BMPs, remaining ids with doc_id%4==1 GIFs (16-color palette, real
+    LZW), the rest PPMs. RGB formats carry pixel byte j = (doc_id*7+j)%256;
+    GIF carries palette index (doc_id*5+p)%16 through the fixed linear
+    palette (17i+3, 29i+7, 43i+11). Both rules are closed-form, so the
     decode oracle computes expected channel means WITHOUT ever seeing the
-    bytes: the Spark side must parse real headers/padding/filters/CRCs to
-    match it."""
+    bytes: the Spark side must parse real headers/padding/filters/CRCs/LZW
+    to match it."""
 
     def _plant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gif_palette = bytes(
+            b for i in range(16)
+            for b in ((i * 17 + 3) % 256, (i * 29 + 7) % 256,
+                      (i * 43 + 11) % 256))
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
@@ -529,6 +537,9 @@ def plant_images(docs: DataFrame) -> DataFrame:
                     payloads.append(encode_png(w, h, px))
                 elif d % 2 == 0:
                     payloads.append(encode_bmp(w, h, px))
+                elif d % 4 == 1:
+                    idx = bytes((d * 5 + p) % 16 for p in range(w * h))
+                    payloads.append(encode_gif(w, h, idx, gif_palette))
                 else:
                     payloads.append(encode_ppm(w, h, px))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
@@ -577,25 +588,35 @@ def decode_images_oracle() -> str:
     w = "(4 + doc_id % 5)"
     h = "(3 + doc_id % 4)"
     is_bmp = "(doc_id % 3 <> 0 AND doc_id % 2 = 0)"
+    is_gif = "(doc_id % 3 <> 0 AND doc_id % 2 = 1 AND doc_id % 4 = 1)"
+    gidx = "((doc_id*5 + g.p) % 16)"
 
-    def m(c):  # mean of channel c in FILE order
+    def m(c):  # mean of channel c in FILE order (RGB/BGR byte formats)
         return (f"SUM((doc_id*7 + 3*g.p + {c}) % 256) * 1.0 "
+                f"/ ({w} * {h})")
+
+    def gm(mul, add):  # mean of a GIF palette channel over planted indices
+        return (f"SUM(({gidx} * {mul} + {add}) % 256) * 1.0 "
                 f"/ ({w} * {h})")
 
     return f"""
 WITH agg AS (
-  SELECT doc_id, {m(0)} AS m0, {m(1)} AS m1, {m(2)} AS m2
+  SELECT doc_id, {m(0)} AS m0, {m(1)} AS m1, {m(2)} AS m2,
+         {gm(17, 3)} AS g0, {gm(29, 7)} AS g1, {gm(43, 11)} AS g2
   FROM documents CROSS JOIN generate_series(0, 47) g(p)
   WHERE g.p < {w} * {h}
   GROUP BY doc_id
 )
 SELECT doc_id,
        CASE WHEN doc_id % 3 = 0 THEN 'png'
-            WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+            WHEN doc_id % 2 = 0 THEN 'bmp'
+            WHEN doc_id % 4 = 1 THEN 'gif' ELSE 'ppm' END AS format,
        CAST({w} AS INTEGER) AS width, CAST({h} AS INTEGER) AS height,
-       CASE WHEN {is_bmp} THEN m2 ELSE m0 END AS mean_r,
-       m1 AS mean_g,
-       CASE WHEN {is_bmp} THEN m0 ELSE m2 END AS mean_b,
+       CASE WHEN {is_gif} THEN g0
+            WHEN {is_bmp} THEN m2 ELSE m0 END AS mean_r,
+       CASE WHEN {is_gif} THEN g1 ELSE m1 END AS mean_g,
+       CASE WHEN {is_gif} THEN g2
+            WHEN {is_bmp} THEN m0 ELSE m2 END AS mean_b,
        CAST(NULL AS VARCHAR) AS error
 FROM agg
 """
@@ -756,3 +777,211 @@ SELECT doc_id,
        CAST(NULL AS VARCHAR) AS error
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# GIF87a (palette + LZW) — REAL decode, stdlib-only: logical screen
+# descriptor, global color table, image descriptor, and a full LZW
+# decompressor (variable code width, clear/EOI codes, sub-block framing).
+# Third compression regime in the real-decode tier after uncompressed
+# BMP/PPM and zlib PNG.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF-flavor LZW: variable code width starting at mcs+1, clear code
+    emitted first, dictionary rebuilt on clear.
+
+    Width growth tracks the DECODER's table size, not the encoder's: the
+    decoder adds one entry per data code it reads (except the first after
+    a clear) — including the encoder's final flush code, which pairs with
+    no encoder-side add. Growing on the encoder's own add count diverges
+    exactly there (found by roundtrip fuzz: EOI written one bit narrower
+    than the decoder reads it)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    table = {bytes([i]): i for i in range(1 << mcs)}
+    next_code, width = eoi + 1, mcs + 1
+    dec_size = eoi + 1      # the decoder's len(table) after each read
+    first_after_clear = True
+    out_bits.append((clear, width))
+
+    def emit_data(code: int) -> None:
+        nonlocal dec_size, width, first_after_clear
+        out_bits.append((code, width))
+        if first_after_clear:
+            first_after_clear = False
+        elif dec_size < 4096:
+            dec_size += 1
+        if dec_size == (1 << width) and width < 12:
+            width += 1
+
+    buf = b""
+    for b in indices:
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        emit_data(table[buf])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+        buf = bytes([b])
+    if buf:
+        emit_data(table[buf])
+    out_bits.append((eoi, width))
+    # LSB-first bit packing
+    acc = n = 0
+    raw = bytearray()
+    for code, w in out_bits:
+        acc |= code << n
+        n += w
+        while n >= 8:
+            raw.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        raw.append(acc & 0xFF)
+    # 255-byte sub-blocks + terminator
+    blocks = bytearray()
+    for i in range(0, len(raw), 255):
+        chunk = raw[i:i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return bytes(blocks)
+
+
+def _lzw_decode(blocks: bytes, mcs: int, n_expected: int) -> bytes:
+    """Inverse of _lzw_encode (sub-block framing included); raises
+    ValueError(IMAGE_ERROR) on malformed streams."""
+    raw = bytearray()
+    pos = 0
+    while True:
+        if pos >= len(blocks):
+            raise ValueError(IMAGE_ERROR)
+        ln = blocks[pos]
+        pos += 1
+        if ln == 0:
+            break
+        chunk = blocks[pos:pos + ln]
+        if len(chunk) != ln:
+            raise ValueError(IMAGE_ERROR)
+        raw += chunk
+        pos += ln
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    acc = n = bitpos = 0
+    width = mcs + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    prev: bytes | None = None
+    out = bytearray()
+
+    def read_code() -> int:
+        nonlocal acc, n, bitpos
+        while n < width:
+            if bitpos >= len(raw):
+                raise ValueError(IMAGE_ERROR)
+            acc |= raw[bitpos] << n
+            bitpos += 1
+            n += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        return code
+
+    while True:
+        code = read_code()
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(IMAGE_ERROR)
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            raise ValueError(IMAGE_ERROR)
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            # the encoder simulates THIS size (one add per data code read,
+            # skipping the first after clear) for its own width schedule —
+            # see _lzw_encode; both sides widen at len(table) == 2^width
+            width += 1
+        if len(out) > n_expected:
+            raise ValueError(IMAGE_ERROR)
+    if len(out) != n_expected:
+        raise ValueError(IMAGE_ERROR)
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, indices: bytes,
+               palette: bytes, mcs: int = 4) -> bytes:
+    """Minimal GIF87a writer (test/plant generator): global color table of
+    2^mcs entries, one image, real LZW with sub-block framing."""
+    n_colors = 1 << mcs
+    if len(palette) != n_colors * 3 or len(indices) != width * height:
+        raise ValueError("bad gif plant")
+    lsd = _struct.pack("<HHBBB", width, height,
+                       0x80 | ((mcs - 1) << 4) | (mcs - 1), 0, 0)
+    img = b"\x2c" + _struct.pack("<HHHHB", 0, 0, width, height, 0)
+    return (b"GIF87a" + lsd + palette + img + bytes([mcs])
+            + _lzw_encode(indices, mcs) + b"\x3b")
+
+
+def _decode_gif(buf: bytes) -> dict:
+    """Parse one GIF87a/89a: LSD, global color table, first image
+    descriptor (no interlace, no local table), LZW-decoded indices mapped
+    through the palette. Off-contract -> ValueError(IMAGE_ERROR)."""
+    if len(buf) < 13 or buf[:4] != b"GIF8":
+        raise ValueError(IMAGE_ERROR)
+    w, h, flags, _bg, _ar = _struct.unpack_from("<HHBBB", buf, 6)
+    if not flags & 0x80:
+        raise ValueError(IMAGE_ERROR)  # need a global color table
+    n_colors = 2 << (flags & 0x07)
+    pos = 13
+    palette = buf[pos:pos + n_colors * 3]
+    if len(palette) != n_colors * 3:
+        raise ValueError(IMAGE_ERROR)
+    pos += n_colors * 3
+    # skip extension blocks (0x21 label, sub-block framed)
+    while pos < len(buf) and buf[pos] == 0x21:
+        pos += 2
+        while pos < len(buf) and buf[pos] != 0:
+            pos += 1 + buf[pos]
+        pos += 1
+    if pos >= len(buf) or buf[pos] != 0x2C:
+        raise ValueError(IMAGE_ERROR)
+    left, top, iw, ih, iflags = _struct.unpack_from("<HHHHB", buf, pos + 1)
+    pos += 10
+    if left or top or iw != w or ih != h or iflags & 0xC0:
+        raise ValueError(IMAGE_ERROR)  # no interlace / local table
+    if pos >= len(buf):
+        raise ValueError(IMAGE_ERROR)
+    mcs = buf[pos]
+    pos += 1
+    if not 2 <= mcs <= 8:
+        raise ValueError(IMAGE_ERROR)
+    idx = np.frombuffer(
+        _lzw_decode(buf[pos:], mcs, w * h), np.uint8
+    ).astype(np.int64)
+    if idx.max(initial=0) >= n_colors:
+        raise ValueError(IMAGE_ERROR)
+    pal = np.frombuffer(palette, np.uint8).reshape(n_colors, 3) \
+        .astype(np.float64)
+    px = pal[idx]
+    return {"format": "gif", "width": w, "height": h,
+            "mean_r": float(px[:, 0].mean()),
+            "mean_g": float(px[:, 1].mean()),
+            "mean_b": float(px[:, 2].mean())}

@@ -2069,15 +2069,16 @@ def ivf_seed_scalable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("image_decode_real", MM.decode_images_oracle())
 def image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, in-sandbox (round-5 verdict item 6): plant
-    deterministic RGB8 PNG / 24-bit BMP / P6 PPM payloads from the
-    documents table (PNG: zlib IDAT, chunk CRCs, per-row filter variety
-    across all five defilters; BMP: 4-byte row padding, bottom-up
-    scanlines, BGR order), then parse them back with the pure
+    deterministic RGB8 PNG / 24-bit BMP / GIF87a / P6 PPM payloads from
+    the documents table (PNG: zlib IDAT, chunk CRCs, per-row filter
+    variety across all five defilters; BMP: 4-byte row padding, bottom-up
+    scanlines, BGR order; GIF: full LZW decompression with variable code
+    width and palette mapping), then parse them back with the pure
     stdlib+numpy decoder and report dimensions + per-channel pixel means.
-    The oracle derives the expected means from the closed-form pixel rule
+    The oracle derives the expected means from the closed-form pixel rules
     ALONE — the Spark side only matches if the container parsing
-    (including the PNG defilter math) is correct. JPEG stays PIL-gated
-    (no stdlib inverse DCT)."""
+    (including PNG defilter math and GIF LZW) is correct. JPEG stays
+    PIL-gated (no stdlib inverse DCT)."""
     docs = _docs(spark, sf_dir)
     return MM.decode_images(MM.plant_images(docs))
 

@@ -730,7 +730,7 @@ def test_real_image_decode_matches_closed_form_oracle(spark):
             round(r["mean_b"], 9))
            for r in MM.decode_images(MM.plant_images(docs)).collect()}
     formats = {r[1] for r in got}
-    assert formats == {"png", "bmp", "ppm"}  # all three planted containers
+    assert formats == {"png", "bmp", "ppm", "gif"}  # all planted containers
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"'{SF_DIR}/documents.parquet'")
@@ -811,3 +811,34 @@ def test_wav_pure_decode_and_dead_letters():
                  raw.replace(b"fmt ", b"fmx ")):  # no fmt chunk
         with pytest.raises(ValueError, match="audio payload"):
             MM.decode_audio_pure(junk)
+
+
+def test_gif_lzw_pure_decode_and_dead_letters():
+    """GIF87a: real LZW decompression (variable code width, clear/EOI,
+    sub-block framing) + palette mapping; a 300-trial roundtrip fuzz over
+    code sizes 2-8 pins the encoder/decoder width-growth pairing."""
+    import random
+
+    import pytest
+
+    rng = random.Random(1234)
+    for _ in range(300):
+        mcs = rng.choice([2, 3, 4, 6, 8])
+        n = rng.randrange(1, 400)
+        idx = bytes(rng.randrange(1 << mcs) for _ in range(n))
+        assert MM._lzw_decode(MM._lzw_encode(idx, mcs), mcs, n) == idx
+
+    pal = bytes(b for i in range(16)
+                for b in ((i * 17 + 3) % 256, (i * 29 + 7) % 256,
+                          (i * 43 + 11) % 256))
+    idx = bytes((5 + p) % 16 for p in range(12))
+    g = MM.decode_image_pure(MM.encode_gif(4, 3, idx, pal))
+    assert (g["format"], g["width"], g["height"]) == ("gif", 4, 3)
+    assert g["mean_r"] == sum(((5 + p) % 16 * 17 + 3) % 256
+                              for p in range(12)) / 12
+
+    raw = MM.encode_gif(4, 3, idx, pal)
+    for junk in (b"GIF87a", raw[:25], raw[:-5],
+                 raw.replace(b"\x2c", b"\x2d", 1)):
+        with pytest.raises(ValueError, match="image payload"):
+            MM.decode_image_pure(junk)
