@@ -281,13 +281,27 @@ IMAGE_ERROR = "unsupported or malformed image payload"
 
 
 def decode_image_pure(payload: bytes) -> dict:
-    """Decode one BMP (24-bit uncompressed) or PPM (P6) payload into
+    """Decode one planted-container payload (BMP/PPM/PNG/GIF) into
     (format, width, height, per-channel means). Raises
-    ValueError(IMAGE_ERROR) on anything else — dead-letter, never a crash.
+    ValueError(IMAGE_ERROR) on anything else — dead-letter, never a
+    crash. Thin wrapper over ``decode_pixels`` (which downstream ops like
+    the real resize reuse for the pixel matrix itself)."""
+    fmt, px = decode_pixels(payload)
+    return {"format": fmt, "width": px.shape[1], "height": px.shape[0],
+            "mean_r": float(px[..., 0].mean()),
+            "mean_g": float(px[..., 1].mean()),
+            "mean_b": float(px[..., 2].mean())}
+
+
+def decode_pixels(payload: bytes):
+    """Decode one BMP (24-bit uncompressed) / PPM (P6) / PNG (RGB8) /
+    GIF87a payload into ``(format, pixels)`` where pixels is an RGB
+    float64 array of shape (height, width, 3), top-down row order.
+    Raises ValueError(IMAGE_ERROR) on anything else.
 
     BMP specifics handled for real: BGR byte order, 4-byte-aligned rows
-    (padding stripped), bottom-up scanline order (irrelevant to channel
-    means but the pixel matrix is materialized top-down correctly)."""
+    (padding stripped), bottom-up scanline order (the pixel matrix is
+    materialized top-down, RGB)."""
     buf = bytes(payload)
     if buf[:2] == b"BM":
         if len(buf) < 54:
@@ -310,10 +324,7 @@ def decode_image_pure(payload: bytes) -> dict:
         if h > 0:
             rows = rows[::-1]  # positive height = bottom-up scanlines
         px = rows.reshape(height, w, 3).astype(np.float64)
-        b, g, r = px[..., 0], px[..., 1], px[..., 2]  # BGR on disk
-        return {"format": "bmp", "width": w, "height": height,
-                "mean_r": float(r.mean()), "mean_g": float(g.mean()),
-                "mean_b": float(b.mean())}
+        return "bmp", px[..., ::-1]  # BGR on disk -> RGB
     if buf[:3] == b"P6\n" or buf[:3] == b"P6 ":
         # header: P6 <ws> width <ws> height <ws> maxval <single-ws> data
         pos, fields = 2, []
@@ -335,10 +346,7 @@ def decode_image_pure(payload: bytes) -> dict:
             raise ValueError(IMAGE_ERROR)
         px = np.frombuffer(buf, np.uint8, w * h * 3, pos) \
             .reshape(h, w, 3).astype(np.float64)
-        return {"format": "ppm", "width": w, "height": h,
-                "mean_r": float(px[..., 0].mean()),
-                "mean_g": float(px[..., 1].mean()),
-                "mean_b": float(px[..., 2].mean())}
+        return "ppm", px
     if buf[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(buf)
     if buf[:4] == b"GIF8":
@@ -438,7 +446,7 @@ def encode_png(width: int, height: int, pixel_bytes: bytes) -> bytes:
             + _png_chunk(b"IEND", b""))
 
 
-def _decode_png(buf: bytes) -> dict:
+def _decode_png(buf: bytes):
     """Parse one RGB8 non-interlaced PNG: verify chunk CRCs, validate IHDR,
     inflate IDAT, reverse the per-row filter. Anything off-contract raises
     ValueError(IMAGE_ERROR) -> dead-letter."""
@@ -503,10 +511,7 @@ def _decode_png(buf: bytes) -> dict:
         prior = bytes(recon)
     arr = np.frombuffer(bytes(px), np.uint8).reshape(h, w, 3) \
         .astype(np.float64)
-    return {"format": "png", "width": w, "height": h,
-            "mean_r": float(arr[..., 0].mean()),
-            "mean_g": float(arr[..., 1].mean()),
-            "mean_b": float(arr[..., 2].mean())}
+    return "png", arr
 
 
 def plant_images(docs: DataFrame) -> DataFrame:
@@ -940,7 +945,7 @@ def encode_gif(width: int, height: int, indices: bytes,
             + _lzw_encode(indices, mcs) + b"\x3b")
 
 
-def _decode_gif(buf: bytes) -> dict:
+def _decode_gif(buf: bytes):
     """Parse one GIF87a/89a: LSD, global color table, first image
     descriptor (no interlace, no local table), LZW-decoded indices mapped
     through the palette. Off-contract -> ValueError(IMAGE_ERROR)."""
@@ -980,8 +985,100 @@ def _decode_gif(buf: bytes) -> dict:
         raise ValueError(IMAGE_ERROR)
     pal = np.frombuffer(palette, np.uint8).reshape(n_colors, 3) \
         .astype(np.float64)
-    px = pal[idx]
-    return {"format": "gif", "width": w, "height": h,
-            "mean_r": float(px[:, 0].mean()),
-            "mean_g": float(px[:, 1].mean()),
-            "mean_b": float(px[:, 2].mean())}
+    px = pal[idx].reshape(h, w, 3)
+    return "gif", px
+
+
+# ---------------------------------------------------------------------------
+# REAL resize over the planted containers: decode_pixels -> nearest-neighbor
+# downsample -> channel means of the RESIZED image. Samples specific (y, x)
+# coordinates, so it is sensitive to errors the whole-image means can't see
+# (BMP bottom-up row order, PNG filter locality, GIF palette positions).
+# ---------------------------------------------------------------------------
+
+RESIZE_REAL_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("out_width", T.IntegerType()),
+    T.StructField("out_height", T.IntegerType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def resize_images_real(media: DataFrame, out_side: int = 2) -> DataFrame:
+    """REAL nearest-neighbor resize over binary payloads via mapInPandas:
+    decode the container (any of the four planted formats), sample output
+    pixel (i, j) from source pixel (i*h//oh, j*w//ow), report the resized
+    image's per-channel means. Dead-letters with IMAGE_ERROR."""
+
+    def _rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    fmt, px = decode_pixels(bytes(payload))
+                    h, w = px.shape[:2]
+                    oh, ow = min(h, out_side), min(w, out_side)
+                    ys = (np.arange(oh) * h) // oh
+                    xs = (np.arange(ow) * w) // ow
+                    small = px[np.ix_(ys, xs)]
+                    rows.append((int(doc_id), fmt, w, h, ow, oh,
+                                 float(small[..., 0].mean()),
+                                 float(small[..., 1].mean()),
+                                 float(small[..., 2].mean()), None))
+                except ValueError:
+                    rows.append((int(doc_id), None, None, None, None, None,
+                                 None, None, None, IMAGE_ERROR))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in RESIZE_REAL_SCHEMA])
+
+    return media.mapInPandas(_rs, RESIZE_REAL_SCHEMA)
+
+
+def resize_images_real_oracle(out_side: int = 2) -> str:
+    """Closed-form twin of plant_images + resize_images_real at
+    out_side=2: enumerate the 4 sampled positions, reconstruct each
+    sampled pixel's channel values from the generation rules (BMP's
+    bottom-up BGR file order included — the sampled COORDINATES make row
+    order observable, unlike whole-image means), average. Only a decoder
+    with byte-correct scanline geometry reproduces these numbers."""
+    assert out_side == 2, "oracle is derived for the 2x2 sample grid"
+    w = "(4 + doc_id % 5)"
+    h = "(3 + doc_id % 4)"
+    y = f"((g.p // 2) * {h}) // 2"
+    x = f"((g.p % 2) * {w}) // 2"
+    is_bmp = "(doc_id % 3 <> 0 AND doc_id % 2 = 0)"
+    is_gif = "(doc_id % 3 <> 0 AND doc_id % 2 = 1 AND doc_id % 4 = 1)"
+    base_rgb = f"(3 * (({y}) * {w} + ({x})))"
+    base_bmp = f"(3 * (({h} - 1 - ({y})) * {w} + ({x})))"
+    gidx = f"((doc_id*5 + ({y}) * {w} + ({x})) % 16)"
+
+    def chan(rgb_off, bmp_off, gmul, gadd):
+        return (f"CASE WHEN {is_gif} THEN ({gidx} * {gmul} + {gadd}) % 256 "
+                f"WHEN {is_bmp} THEN (doc_id*7 + {base_bmp} + {bmp_off}) % 256 "
+                f"ELSE (doc_id*7 + {base_rgb} + {rgb_off}) % 256 END")
+
+    return f"""
+WITH agg AS (
+  SELECT doc_id,
+         SUM({chan(0, 2, 17, 3)}) / 4.0 AS mr,
+         SUM({chan(1, 1, 29, 7)}) / 4.0 AS mg,
+         SUM({chan(2, 0, 43, 11)}) / 4.0 AS mb
+  FROM documents CROSS JOIN generate_series(0, 3) g(p)
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'png'
+            WHEN doc_id % 2 = 0 THEN 'bmp'
+            WHEN doc_id % 4 = 1 THEN 'gif' ELSE 'ppm' END AS format,
+       CAST({w} AS INTEGER) AS width, CAST({h} AS INTEGER) AS height,
+       2 AS out_width, 2 AS out_height,
+       mr AS mean_r, mg AS mean_g, mb AS mean_b,
+       CAST(NULL AS VARCHAR) AS error
+FROM agg
+"""

@@ -2083,6 +2083,19 @@ def image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_images(MM.plant_images(docs))
 
 
+@query("image_resize_real", MM.resize_images_real_oracle())
+def image_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resize over the planted containers: decode the
+    pixels (PNG/BMP/GIF/PPM), sample the 2x2 output grid from source
+    coordinates (i*h//2, j*w//2), report the resized image's channel
+    means. Sampling specific coordinates makes geometry observable that
+    whole-image means cannot see — BMP's bottom-up scanline order, PNG
+    filter locality, GIF palette positions — and the oracle reconstructs
+    each sampled pixel from the closed-form rules alone."""
+    docs = _docs(spark, sf_dir)
+    return MM.resize_images_real(MM.plant_images(docs))
+
+
 @query("audio_decode_real", MM.decode_audio_oracle())
 def audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, in-sandbox: plant deterministic RIFF/PCM16 WAV
@@ -2630,7 +2643,7 @@ _FRONT: list[str] = [
     # DEPTH_ERROR in py_decode, lazy bucket guard, streaming dedup keys,
     # kmeans|| additions to ivf.py).
     "pb_wire_decode_jvmdyn", "audio_decode_real", "image_decode_real",
-    "minhash_oversize_buckets", "ivf_seed_scalable",
+    "image_resize_real", "minhash_oversize_buckets", "ivf_seed_scalable",
     # last green in r4
     "tpch_q5_local_supply", "multimodal_frames", "multimodal_resize",
     "role_cents_quantiles", "role_tool_setops", "tpch_q3_shipping",
@@ -2647,19 +2660,21 @@ _FRONT: list[str] = [
     "pb2_wire_lineage", "stream_wire_counts", "pb_wire_map_entries",
     "minhash_pairs", "simhash_neardup", "ngram_jaccard_pairs",
     "dedup_clusters", "dedup_survivors", "minhash_pairs_star",
-    "minhash_bands", "simhash", "simhash_weighted", "dedup_exact",
-    # ivf_topk and ivf_seed_farthest moved to _TAIL to fit
-    # pb_wire_decode_jvmdyn and audio_decode_real in the window: the
-    # additive-only ivf re-checks have the weakest claim (the kmeans||
-    # commit appends after ivf.py:448; neither existing path changed)
+    "minhash_bands", "simhash", "simhash_weighted",
+    # ivf_topk, ivf_seed_farthest and dedup_exact moved to _TAIL to fit
+    # the late-round queries (pb_wire_decode_jvmdyn, audio_decode_real,
+    # image_resize_real) in the window: of the re-check set they have the
+    # weakest claim — the round-6 ivf.py change is purely additive
+    # (appends after ivf.py:448) and dedup_exact's md5 groupBy is
+    # untouched by the guard/star work
 ]
 
 _TAIL: list[str] = [
     # green in CORRECTNESS_r05.json and untouched by round-6 code changes —
     # that fresh green row is the evidence that earns rotation past the
     # 50-entry window this round
-    "ivf_topk", "ivf_seed_farthest", "dedup_clusters_star", "parse_good",
-    "dead_letter", "enum_symbolize",
+    "ivf_topk", "ivf_seed_farthest", "dedup_exact", "dedup_clusters_star",
+    "parse_good", "dead_letter", "enum_symbolize",
     "pb2_enum_passthrough", "oneof_xor", "enrich_turns", "route_counts",
     "conv_stats", "hourly_stats", "turn_order", "conv_first_last",
     "encode_roundtrip", "encode_autoconvert", "stream_sessionize",

@@ -842,3 +842,27 @@ def test_gif_lzw_pure_decode_and_dead_letters():
                  raw.replace(b"\x2c", b"\x2d", 1)):
         with pytest.raises(ValueError, match="image payload"):
             MM.decode_image_pure(junk)
+
+
+def test_resize_real_is_geometry_sensitive():
+    """The 2x2 nearest-neighbor sample reads SPECIFIC coordinates, so BMP's
+    bottom-up scanline order is observable (whole-image means are not):
+    flipping the decoded row order must change the sampled means."""
+    import numpy as np
+    import pytest
+
+    d = 2  # bmp by the plant rule (even, not %3)
+    w, h = 4 + d % 5, 3 + d % 4
+    px_bytes = bytes((d * 7 + j) % 256 for j in range(w * h * 3))
+    fmt, px = MM.decode_pixels(MM.encode_bmp(w, h, px_bytes))
+    assert fmt == "bmp"
+    ys, xs = (np.arange(2) * h) // 2, (np.arange(2) * w) // 2
+    right = px[np.ix_(ys, xs)].mean(axis=(0, 1))
+    flipped = px[::-1][np.ix_(ys, xs)].mean(axis=(0, 1))
+    assert not np.allclose(right, flipped)  # geometry matters
+    assert np.allclose(px.mean(axis=(0, 1)), px[::-1].mean(axis=(0, 1)))
+
+    # dead letter flows through the resize schema
+    media = None  # spark-free: just the pure decode failure
+    with pytest.raises(ValueError, match="image payload"):
+        MM.decode_pixels(b"junk")

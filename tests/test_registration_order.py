@@ -6,7 +6,7 @@ explicit in ``queries._FRONT`` / ``queries._TAIL`` (round-3 verdict item 1;
 rotated each round so every query lands in some round's window).
 
 Round-6 rotation (round-5 verdict item 5): the window is the COMPLEMENT of
-r5's 50 — the five new round-6 queries (never driver-checked), the 25
+r5's 50 — the six new round-6 queries (never driver-checked), the 25
 queries whose last green row is r4 (out for exactly one round), plus 22
 r5-green queries whose operators round-6 code changes touch (vectorized wire
 decode, DEPTH_ERROR, lazy bucket guard, streaming dedup keys, ivf.py
@@ -16,11 +16,13 @@ additions).
 from logstash_codec_protobuf_spark import queries as Q
 
 # Never driver-checked: defined in round 6 (pb_wire_decode_jvmdyn and
-# audio_decode_real landed late-round; ivf_topk and ivf_seed_farthest
-# rotated to _TAIL to make room — the round-6 ivf.py change is purely
-# additive, so their re-check claim was the weakest in the window).
+# audio_decode_real / image_resize_real landed late-round; ivf_topk,
+# ivf_seed_farthest and dedup_exact rotated to _TAIL to make room — the
+# round-6 ivf.py change is purely additive and dedup_exact's md5 groupBy
+# is untouched by the guard/star work, the weakest re-check claims).
 R6_NEW = ["pb_wire_decode_jvmdyn", "audio_decode_real", "image_decode_real",
-          "minhash_oversize_buckets", "ivf_seed_scalable"]
+          "image_resize_real", "minhash_oversize_buckets",
+          "ivf_seed_scalable"]
 
 # Last green row is CORRECTNESS_r04.json — these sat out r5's window under
 # the rotation policy and must return in r6.
