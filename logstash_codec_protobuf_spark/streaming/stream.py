@@ -144,13 +144,16 @@ def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
 
 
 def streaming_wire_decode(stream: DataFrame, payload_col: str = "payload",
-                          registry=None) -> DataFrame:
-    """Wire-format decode over an unbounded stream: the Arrow-batch decode UDF
-    is a stateless 1:1 projection, so it composes with readStream unchanged —
-    the streaming twin of the codec's Kafka seat (protobuf.rb:30-43)."""
+                          registry=None, impl: str = "auto") -> DataFrame:
+    """Wire-format decode over an unbounded stream: the decode is a
+    stateless 1:1 projection, so it composes with readStream unchanged —
+    the streaming twin of the codec's Kafka seat (protobuf.rb:30-43).
+    All batch impls work here, including ``impl='jvm_dynamic'`` (the
+    vendored Java UDF registers on the stream's own session; zero Python
+    workers in the micro-batch plan — the Kafka-at-100TB shape)."""
     from ..operators.pb_wire import decode_turn_wire
 
-    return decode_turn_wire(stream, payload_col, registry)
+    return decode_turn_wire(stream, payload_col, registry, impl=impl)
 
 
 def run_stream_to_sinks(spark: SparkSession, source_dir: str, out_dir: str,

@@ -287,3 +287,55 @@ def test_stateful_session_survives_restart(spark, tmp_path):
         "conv_id", "turn_idx", "session_seq")
     assert expected.exceptAll(got).isEmpty() and \
         got.exceptAll(expected).isEmpty()
+
+
+def test_streaming_jvm_decode_matches_batch(spark, tmp_path):
+    """The vendored JVM DynamicMessage decode must compose with readStream
+    exactly like the Arrow UDF (the Kafka-at-scale shape: zero Python
+    workers inside the micro-batch plan)."""
+    from pyspark.sql import functions as F
+
+    from logstash_codec_protobuf_spark.operators import pb_wire as PW
+    from logstash_codec_protobuf_spark.operators.parse import (
+        parse_turns, split_dead_letter,
+    )
+    from logstash_codec_protobuf_spark.streaming.stream import (
+        streaming_wire_decode,
+    )
+
+    if not PW.jvm_dynamic_available(spark):
+        import pytest
+        pytest.skip("shaded protobuf runtime not on the JVM classpath")
+
+    good, _ = split_dead_letter(parse_turns(transcripts_df(spark, SF_DIR)))
+    p = F.col("parsed")
+    flat = good.select(*[p[c].alias(c) for c in (
+        "conv_id", "turn_idx", "role", "tool", "colour", "cents",
+        "body_type", "horn", "wings", "msg")]).limit(400)
+    enc = PW.encode_turn_wire(flat).select("payload")
+    src = str(tmp_path / "wire_src_jvm")
+    enc.write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream.schema("payload binary")
+              .option("maxFilesPerTrigger", "4").parquet(src))
+    dec = streaming_wire_decode(stream, impl="jvm_dynamic") \
+        .select("decoded.*")
+    q = (
+        dec.writeStream.format("memory").queryName("wire_stream_jvm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wire_jvm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["colour"], r["cents"], r["msg"])
+        for r in spark.sql("SELECT * FROM wire_stream_jvm").collect()
+    )
+    batch = PW.decode_turn_wire(
+        spark.read.parquet(src), impl="arrow").select("decoded.*")
+    want = sorted(
+        (r["conv_id"], r["turn_idx"], r["colour"], r["cents"], r["msg"])
+        for r in batch.collect()
+    )
+    assert len(got) > 300 and got == want
