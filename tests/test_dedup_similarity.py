@@ -862,7 +862,6 @@ def test_resize_real_is_geometry_sensitive():
     assert not np.allclose(right, flipped)  # geometry matters
     assert np.allclose(px.mean(axis=(0, 1)), px[::-1].mean(axis=(0, 1)))
 
-    # dead letter flows through the resize schema
-    media = None  # spark-free: just the pure decode failure
+    # dead letter: the pure decoder refuses junk loudly
     with pytest.raises(ValueError, match="image payload"):
         MM.decode_pixels(b"junk")
