@@ -94,8 +94,17 @@ public class WireDecodeRow implements UDF2<byte[], String, Row> {
             case ENUM:
                 Descriptors.EnumValueDescriptor ev =
                     (Descriptors.EnumValueDescriptor) v;
-                return pb2 ? (Object) (long) ev.getNumber()
-                           : (Object) ev.getName();
+                if (pb2) {
+                    return (long) ev.getNumber();
+                }
+                // open-enum unrecognized code: DynamicMessage hands back a
+                // synthetic descriptor (index -1, UNKNOWN_ENUM_VALUE_* name)
+                // — the engine contract decodes it as the DECIMAL STRING of
+                // the int32 code, matching the Arrow decoder's passthrough
+                // and JsonFormat's number print in the jvm_json foil
+                return ev.getIndex() == -1
+                    ? String.valueOf(ev.getNumber())
+                    : (Object) ev.getName();
             case BYTE_STRING:
                 return ((ByteString) v).toByteArray();
             default:

@@ -22,7 +22,10 @@ Split of labor, Spark-first:
 
 Wire parser semantics mirrored from the reference:
 - unknown fields are skipped by wire type (forward compatibility),
-- pb3 enums decode to NAMES, pb2 to ints (protobuf.rb:330-331),
+- pb3 enums decode to NAMES, pb2 to ints (protobuf.rb:330-331); codes are
+  int32-truncated like protobuf-java, and an UNREGISTERED pb3 code decodes
+  to its decimal string (type-stable forward compatibility — identical
+  across the arrow, vector, jvm_dynamic and jvm_json impls),
 - proto3 defaults are emitted for absent scalars (protobuf.rb:297),
 - the oneof discriminator is whichever member was last seen on the wire —
   recorded as metadata, value preserved even when it equals the default
@@ -133,10 +136,19 @@ def _decode_packed(data: bytes, ftype: str, registry: SchemaRegistry,
 def _typed_varint(v: int, ftype: str, registry: SchemaRegistry,
                   proto_version: int):
     if ftype.startswith("enum:"):
+        # enum codes are int32: truncate the raw varint exactly like
+        # protobuf-java/C++ do (a conformant encoder sign-extends negative
+        # codes to 64 bits, so this also recovers them). Codes therefore
+        # ALWAYS fit the declared column — forward-compat payloads carrying
+        # unregistered codes never dead-letter and never widen past int32.
+        code = ((v & 0xFFFFFFFF) ^ 0x80000000) - 0x80000000
         if proto_version == 2:
-            return v
-        name = registry.enums[ftype[5:]].name_of(v)
-        return name if name is not None else v  # unknown code: passthrough
+            return code
+        name = registry.enums[ftype[5:]].name_of(code)
+        # unknown code: decimal-string passthrough — keeps the StringType
+        # column type-stable (JsonFormat prints the number; the JVM row
+        # path stringifies the synthetic descriptor's number identically)
+        return name if name is not None else str(code)
     return _varint_value(v, ftype)
 
 
@@ -471,7 +483,13 @@ def _enc_varint_val(v, ftype: str, registry: SchemaRegistry) -> int:
         if isinstance(v, str):
             code = registry.enums[ftype[5:]].code_of(v)
             if code is None:
-                raise ValueError(f"unknown enum name {v!r} for {ftype}")
+                try:
+                    # decimal-string passthrough: a decoded forward-compat
+                    # code ("99") round-trips back to the wire unchanged
+                    return int(v, 10)
+                except ValueError:
+                    raise ValueError(
+                        f"unknown enum name {v!r} for {ftype}") from None
             return code
         return int(v)
     if ftype in ("sint32", "sint64"):
@@ -763,12 +781,10 @@ def _make_decode_udf(registry: SchemaRegistry, proto_version: int = 3,
                     v = d[k]
                     # representability boundary (same rule as the vector
                     # path): a varint past int64 dead-letters, the astype
-                    # below must never blow up the whole batch
+                    # below must never blow up the whole batch (enum codes
+                    # are int32-truncated upstream and always fit)
                     if v is not None and not (-(1 << 63) <= v < (1 << 63)):
                         raise ValueError(WIRE_ERROR)
-                if proto_version == 2 and isinstance(d["colour"], int) \
-                        and not (-(1 << 63) <= d["colour"] < (1 << 63)):
-                    raise ValueError(WIRE_ERROR)
                 for k in _TURN_FIELDS:
                     cols[k].append(d[k])
                 cols["oneof_body"].append(d["_pb_oneof"].get("body"))

@@ -32,8 +32,11 @@ Semantics mirrored record-for-record from ``py_decode``:
   SKIPPED (bytes consumed), varint on a string field (or length-delimited on
   a scalar field) is WIRE_ERROR,
 - proto3 defaults for absent scalars; absent oneof members stay NULL,
-- last oneof member on the wire wins, the loser is nulled,
-- pb3 enums decode to NAMES with unknown-code passthrough; pb2 keeps ints,
+- last oneof member on the wire wins, the loser is nulled (a string member
+  that LOSES takes the scalar fallback so its bytes still get the UTF-8
+  validation py_decode applies to every occurrence),
+- pb3 enums decode to NAMES with decimal-string unknown-code passthrough;
+  pb2 keeps ints — codes int32-truncated like protobuf-java in both,
 - invalid UTF-8 in a string field -> WIRE_ERROR.
 """
 
@@ -213,8 +216,16 @@ def flat_decode_frame(payload, plan: FlatPlan) -> dict[str, object]:
 
     def _won_oneof(f: _VecField, mk: np.ndarray) -> None:
         members = plan.oneof_groups[f.oneof]
-        for j, m in enumerate(members):
+        for m in members:
             if m != f.name:
+                if m in sseen:
+                    # a STRING member losing the oneof: its earlier wire
+                    # bytes are never assembled, so the vector path would
+                    # skip the UTF-8 validation py_decode applies to every
+                    # occurrence — route those rows to the scalar decoder
+                    lost = mk & sseen[m]
+                    if lost.any():
+                        fallback[lost] = True
                 seen_of[m][mk] = False  # last member on the wire wins
         chosen[f.oneof][mk] = members.index(f.name) + 1
 
@@ -342,32 +353,34 @@ def flat_decode_frame(payload, plan: FlatPlan) -> dict[str, object]:
     for f in plan.varints:
         v, seen = vvals[f.name], vseen[f.name]
         if f.ftype.startswith("enum:"):
+            # int32-truncate the raw varint (protobuf-java parity, same as
+            # py_decode's _typed_varint): codes ALWAYS fit, so enums never
+            # take the representability fallback
+            code = (v & np.uint64(0xFFFFFFFF)).astype(
+                np.uint32).view(np.int32).astype(np.int64)
             if plan.proto_version == 2:  # pb2: codes pass through as ints
-                fallback |= seen & (v >= np.uint64(1 << 63))
-                dead = err | fallback
                 na = dead | (~seen if f.oneof else np.zeros(n, bool))
-                cols[f.name] = pd.arrays.IntegerArray(
-                    v.astype(np.int64), mask=na.copy())
+                cols[f.name] = pd.arrays.IntegerArray(code, mask=na.copy())
                 continue
             maxc, table, has_name = plan.enum_tables[f.name]
             out = np.empty(n, object)
             default = plan.registry.enums[f.ftype[5:]].default_name
             out[:] = None if f.oneof else default
             live = seen & ~dead
-            small = live & (v <= np.uint64(max(maxc, 0))) if maxc >= 0 \
+            small = live & (code >= 0) & (code <= maxc) if maxc >= 0 \
                 else np.zeros(n, bool)
             if maxc >= 0 and small.any():
-                si = v[small].astype(np.int64)
+                si = code[small]
                 out[small] = table[si]
-                # in-range codes with no name: passthrough ints
-                # (py: `name if name is not None else v`)
+                # in-range codes with no name: decimal-string passthrough
+                # (py: `name if name is not None else str(code)`)
                 nameless = small.copy()
                 nameless[small] = ~has_name[si]
             else:
                 nameless = np.zeros(n, bool)
-            nameless |= live & ~small  # codes past the table: passthrough
+            nameless |= live & ~small  # codes outside the table: passthrough
             for i in np.nonzero(nameless)[0]:
-                out[i] = int(v[i])
+                out[i] = str(int(code[i]))
             out[dead] = None
             cols[f.name] = out
             continue
@@ -435,8 +448,7 @@ def flat_decode_frame(payload, plan: FlatPlan) -> dict[str, object]:
         int64_dest = {
             f.name for f in plan.varints
             if f.ftype in _UNSIGNED_TYPES | _SIGNED_TYPES | _SINT_TYPES
-            or (f.ftype.startswith("enum:") and plan.proto_version == 2)
-        }
+        }  # enum codes are int32-truncated upstream: always representable
         # mutability for the patch: Arrow-backed columns become object
         cols = {
             k: (c.to_numpy(dtype=object, na_value=None)

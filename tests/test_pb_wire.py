@@ -697,3 +697,58 @@ def test_jvm_json_foil_parity(spark):
             sorted(map(tuple, js.collect()))
     finally:
         enc.unpersist()
+
+# ---------------------------------------------------------------------------
+# forward-compat enum contract (round-7): codes int32-truncate like
+# protobuf-java; an UNREGISTERED pb3 code decodes to its decimal string —
+# identical across arrow / arrow_scalar / jvm_dynamic / jvm_json, never a
+# batch crash, never a dead-letter
+# ---------------------------------------------------------------------------
+
+def test_typed_varint_enum_int32_truncation():
+    reg = default_registry()
+    tv = W._typed_varint
+    # registered code -> name (pb3), int (pb2)
+    assert tv(2, "enum:Colour", reg, 3) == "PINK"
+    assert tv(2, "enum:Colour", reg, 2) == 2
+    # unregistered code -> decimal string (pb3), int (pb2)
+    assert tv(99, "enum:Colour", reg, 3) == "99"
+    assert tv(99, "enum:Colour", reg, 2) == 99
+    # a conformant encoder sign-extends negative codes to 64-bit varints
+    assert tv((1 << 64) - 1, "enum:Colour", reg, 3) == "-1"
+    assert tv((1 << 64) - 1, "enum:Colour", reg, 2) == -1
+    # int32 truncation, exactly protobuf-java's cast: 2^40 & 0xFFFFFFFF == 0
+    assert tv(1 << 40, "enum:Colour", reg, 3) == \
+        reg.enums["Colour"].name_of(0)
+    assert tv(1 << 40, "enum:Colour", reg, 2) == 0
+    # and the decimal string round-trips through the encoder unchanged
+    assert W._enc_varint_val("99", "enum:Colour", reg) == 99
+    assert W._enc_varint_val("-1", "enum:Colour", reg) == -1
+    with pytest.raises(ValueError, match="unknown enum name"):
+        W._enc_varint_val("MAUVE", "enum:Colour", reg)
+
+
+def _enum_probe_frame(spark):
+    base = {"conv_id": "c", "turn_idx": 1, "role": "user", "tool": "",
+            "cents": 5, "body_type": None, "horn": 0, "wings": 0, "msg": "m"}
+    rows = [(i, bytearray(W.py_encode_turn({**base, "colour": c})))
+            for i, c in enumerate([2, 99, -1])]
+    return spark.createDataFrame(rows, "id int, payload binary")
+
+
+def test_enum_unknown_code_parity_all_impls(spark):
+    """One forward-compat payload must not crash the batch (the pre-r7
+    Arrow path died in pa.Array.from_pandas on an int in the string column)
+    and every impl must agree on the decoded value, both dialects."""
+    df = _enum_probe_frame(spark)
+    impls = ["arrow", "arrow_scalar"]
+    if W.jvm_dynamic_available(spark):
+        impls += ["jvm_dynamic", "jvm_json"]
+    for pv, want in ((3, ["PINK", "99", "-1"]), (2, [2, 99, -1])):
+        for impl in impls:
+            out = (W.decode_turn_wire(df, impl=impl, proto_version=pv)
+                   .select("id", F.col("decoded")["colour"].alias("c"),
+                           F.col("decoded")["error"].alias("e"))
+                   .orderBy("id").collect())
+            assert [r["c"] for r in out] == want, (pv, impl)
+            assert all(r["e"] is None for r in out), (pv, impl)

@@ -315,10 +315,11 @@ from logstash_codec_protobuf_spark.schema import _SCALAR_DEFAULTS
 
 def _naive_typed_varint(v, ftype, registry, proto_version):
     if ftype.startswith("enum:"):
+        code = ((v & 0xFFFFFFFF) ^ 0x80000000) - 0x80000000  # int32 truncate
         if proto_version == 2:
-            return v
-        name = registry.enums[ftype[5:]].name_of(v)
-        return name if name is not None else v
+            return code
+        name = registry.enums[ftype[5:]].name_of(code)
+        return name if name is not None else str(code)
     if ftype in ("sint32", "sint64"):
         return py_unzigzag(v)
     if ftype == "bool":
@@ -635,9 +636,7 @@ def _scalar_reference(buf, proto_version=3):
     for k in ("turn_idx", "cents", "horn", "wings"):
         if d[k] is not None and not _fits_int64(d[k]):
             return out
-    if proto_version == 2 and isinstance(d["colour"], int) \
-            and not _fits_int64(d["colour"]):
-        return out
+    # (enum codes are int32-truncated inside py_decode — always fit)
     res = {n: d[n] for n in _TURN_NAMES}
     res["_pb_oneof_body"] = d["_pb_oneof"].get("body")
     res["error"] = None
@@ -699,3 +698,95 @@ _turnrec = st.one_of(
 def test_vector_decoder_matches_scalar_on_wire_shaped(payloads):
     _assert_batch_parity(payloads, proto_version=3)
     _assert_batch_parity(payloads, proto_version=2)
+
+# ---------------------------------------------------------------------------
+# string member inside a oneof (no such shape in turn_wire): a string that
+# LOSES the oneof must still get its UTF-8 validated — py_decode validates
+# every occurrence in wire order, so the vector path routes losers through
+# the scalar fallback (round-6 advice item 2)
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from logstash_codec_protobuf_spark.schema import (
+    FieldSpec, MessageSpec, SchemaRegistry,
+)
+
+_OF_REG = SchemaRegistry()
+_OF_REG.register_message(MessageSpec("of_str", (
+    FieldSpec("a", "string", oneof="pick", number=1),
+    FieldSpec("b", "int64", oneof="pick", number=2),
+    FieldSpec("tag", "string", number=3),
+)))
+_OF_PLAN = build_flat_plan(_OF_REG, "of_str", 3)
+_BAD_UTF8 = b"\xff\xfe"
+
+
+def _of_decode(payloads):
+    cols = flat_decode_frame(_pd.Series(payloads, dtype=object), _OF_PLAN)
+    return _pd.DataFrame(cols)
+
+
+def _cell(frame, i, k):
+    v = frame.iloc[i][k]
+    return None if v is _pd.NA else v
+
+
+def test_oneof_string_loser_still_utf8_validated():
+    assert _OF_PLAN is not None  # flat shape: the vector path owns it
+    p_invalid_then_b = py_field_len(1, _BAD_UTF8) + py_field_varint(2, 7)
+    p_valid_then_b = py_field_string(1, "hi") + py_field_varint(2, 7)
+    p_invalid_b_revalid = (py_field_len(1, _BAD_UTF8) + py_field_varint(2, 7)
+                           + py_field_string(1, "ok"))
+    p_valid_only = py_field_string(1, "solo")
+    f = _of_decode([p_invalid_then_b, p_valid_then_b,
+                    p_invalid_b_revalid, p_valid_only])
+    # py_decode parity: the invalid LOSER dead-letters the row
+    with pytest.raises(ValueError):
+        W.py_decode(p_invalid_then_b, _OF_REG, "of_str")
+    assert _cell(f, 0, "error") == W.WIRE_ERROR and _cell(f, 0, "a") is None
+    # a valid loser: row decodes, b wins, a is nulled
+    d1 = W.py_decode(p_valid_then_b, _OF_REG, "of_str")
+    assert d1 == {"a": None, "b": 7, "tag": "", "_pb_oneof": {"pick": "b"}}
+    assert _cell(f, 1, "error") is None and _cell(f, 1, "b") == 7
+    assert _cell(f, 1, "a") is None and _cell(f, 1, "_pb_oneof_pick") == "b"
+    # re-occurrence after a sibling win: earlier invalid bytes still error
+    with pytest.raises(ValueError):
+        W.py_decode(p_invalid_b_revalid, _OF_REG, "of_str")
+    assert _cell(f, 2, "error") == W.WIRE_ERROR
+    # control: plain valid string decodes on the fast path
+    assert _cell(f, 3, "error") is None and _cell(f, 3, "a") == "solo"
+    assert _cell(f, 3, "_pb_oneof_pick") == "a"
+
+
+@given(st.lists(st.one_of(
+    st.tuples(st.just(1), st.binary(max_size=8)).map(
+        lambda t: py_field_len(*t)),
+    st.tuples(st.just(3), st.binary(max_size=8)).map(
+        lambda t: py_field_len(*t)),
+    st.tuples(st.just(2), u64).map(lambda t: py_field_varint(*t)),
+), max_size=8).map(b"".join))
+@settings(max_examples=300, deadline=None)
+def test_oneof_string_loser_fuzz_matches_py_decode(buf):
+    """Random interleavings of oneof string/varint members + a plain string:
+    vector path and py_decode agree on decode vs dead-letter and values."""
+    try:
+        want = W.py_decode(buf, _OF_REG, "of_str")
+        err = None
+    except ValueError:
+        want, err = None, W.WIRE_ERROR
+    f = _of_decode([buf])
+    got_err = f.iloc[0]["error"]
+    got_err = None if got_err is _pd.NA or got_err is None else got_err
+    assert got_err == err, buf
+    if want is not None:
+        for k in ("a", "tag"):
+            gv = f.iloc[0][k]
+            gv = None if gv is _pd.NA else gv
+            assert gv == want[k], (k, buf)
+        gb = f.iloc[0]["b"]
+        gb = None if gb is _pd.NA else gb
+        assert gb == want["b"], buf
+        gp = f.iloc[0]["_pb_oneof_pick"]
+        gp = None if gp is _pd.NA else gp
+        assert gp == want["_pb_oneof"].get("pick"), buf
