@@ -459,28 +459,37 @@ def ivf_seed_scalable(emb: DataFrame, k: int = N_CENTROIDS, rounds: int = 3,
     unusable at the K~10^4-10^5 a 10^9-vector corpus needs. This runs
     O(rounds) passes TOTAL (independent of K):
 
-    1. seed candidate 0 = min vec_id (deterministic);
+    1. seed candidate 0 = min vec_id among vectors with nrm > 0 (a
+       zero-norm vector must never seed: cosine to it is undefined for
+       every query);
     2. each round: one broadcast join (corpus x |new samples|) to refresh
        per-vector min angular distance d2 = 1 - cos(x, nearest candidate),
        one sum for the normalizer phi, and a Bernoulli sample with
-       p = min(1, l * d2 / phi), l = ``oversample`` (default 2k). Sampling
-       uses an md5-hash uniform per (vec_id, round, seed) — deterministic
-       and partition-order-free, so results are reproducible across
-       cluster layouts (no rand() reshuffle hazard);
+       p = min(1, l * d2 / phi), l = ``oversample`` (default 2k). The
+       normalizer and the test both run on nano-unit-quantized distances
+       (floor(d2 * 1e9) as int64): INTEGER sums are partition-order-free,
+       so phi — and therefore the sampled set — is bit-reproducible across
+       cluster layouts AND engines (a double sum would drift with the
+       shuffle). Sampling uses an md5-hash uniform per (vec_id, round,
+       seed) — deterministic, no rand() reshuffle hazard;
     3. weight every candidate by the number of corpus vectors nearest to it
        (one broadcast join — the candidate set is ~1 + rounds*l rows);
     4. deterministic weighted greedy k-center over the candidates ON THE
-       DRIVER (numpy over a tiny set): start at the max-weight candidate,
-       then repeatedly take argmax of weight * min-distance-to-chosen,
-       ties to the smaller vec_id. (Classic kmeans++ samples here; the
-       greedy variant keeps the whole pipeline RNG-free.)
+       DRIVER (plain Python over a tiny set): start at the max-weight
+       candidate, then repeatedly take argmax of weight *
+       min-distance-to-chosen, ties to the smaller vec_id. Dot products
+       accumulate strictly in index order — the same fold
+       ``functions.portable.dot`` compiles to in BOTH engines — so every
+       double here is bit-identical to what the DuckDB oracle computes.
+       (Classic kmeans++ samples this step; the greedy variant keeps the
+       whole pipeline RNG-free.)
 
     Driver traffic: ~l rows per round + the candidate vectors once —
     NOT O(K) actions, NOT the corpus. Returns (rank, vec_id) compatible
-    with ``ivf_topk(seed_ids=...)``.
+    with ``ivf_topk(seed_ids=...)``. The exact-replay DuckDB twin is
+    ``ivf_seed_scalable_oracle`` (valid whenever the sampled candidate set
+    reaches k — the degenerate tiny-corpus pad path is pytest-covered).
     """
-    import numpy as np
-
     l = oversample if oversample is not None else 2 * k
     spark = emb.sparkSession
     e = cache.track(_with_norm(emb).select("vec_id", "embedding", "nrm"))
@@ -488,33 +497,40 @@ def ivf_seed_scalable(emb: DataFrame, k: int = N_CENTROIDS, rounds: int = 3,
     def dist_to(sample_ids: list[int]):
         """(vec_id, nd2): min angular distance to the given candidates.
         Zero-norm vectors get d2=0 — a degenerate vector must never be
-        sampled as a seed (cosine to it is undefined for every query)."""
+        sampled as a seed. A NULL cosine (zero-norm CANDIDATE — impossible
+        now that candidate 0 requires nrm > 0, kept as defense) counts as
+        distance 1.0, never 0."""
         s = e.filter(F.col("vec_id").isin(sample_ids)).select(
             F.col("embedding").alias("cv"), F.col("nrm").alias("c_nrm"))
         cos = F.try_divide(SIM_pair_dot("embedding", "cv"),
                            F.col("nrm") * F.col("c_nrm"))
         d2 = F.when(F.col("nrm") == 0, F.lit(0.0)).otherwise(
-            F.greatest(F.lit(0.0), F.lit(1.0) - F.coalesce(cos, F.lit(1.0))))
+            F.greatest(F.lit(0.0), F.lit(1.0) - F.coalesce(cos, F.lit(0.0))))
         return (e.join(F.broadcast(s))
                 .select("vec_id", d2.alias("_d"))
                 .groupBy("vec_id").agg(F.min("_d").alias("nd2")))
 
-    first_id = int(e.agg(F.min("vec_id")).first()[0])
+    first = e.filter(F.col("nrm") > 0).agg(F.min("vec_id")).first()[0]
+    if first is None:  # fully degenerate corpus: any vector will do
+        first = e.agg(F.min("vec_id")).first()[0]
+    first_id = int(first)
     cand_ids = [first_id]
     m = cache.track(dist_to([first_id])
                     .select("vec_id", F.col("nd2").alias("d2")))
+    # nano-unit quantization for phi + the Bernoulli test (see docstring)
+    d2q = F.floor(F.col("d2") * F.lit(1e9)).cast("long")
     for r in range(rounds):
-        phi = m.agg(F.sum("d2")).first()[0]
+        phi = m.agg(F.sum(d2q)).first()[0]
         if not phi:
             break  # every vector coincides with a candidate already
         # md5-hash uniform in [0, 1): deterministic Bernoulli, no rand()
-        u = (F.conv(F.substring(
+        h = F.conv(F.substring(
             F.md5(F.concat_ws("_", F.col("vec_id").cast("string"),
                               F.lit(str(r)), F.lit(str(seed)))), 1, 8),
-            16, 10).cast("double") / F.lit(float(1 << 32)))
+            16, 10).cast("double")
         new = [int(row["vec_id"]) for row in
-               m.filter((u * F.lit(float(phi)))
-                        < (F.lit(float(l)) * F.col("d2")))
+               m.filter((h / F.lit(4294967296.0) * F.lit(float(phi)))
+                        < (F.lit(float(l)) * d2q.cast("double")))
                .select("vec_id").collect()]
         new = [i for i in new if i not in set(cand_ids)]
         if not new:
@@ -532,7 +548,7 @@ def ivf_seed_scalable(emb: DataFrame, k: int = N_CENTROIDS, rounds: int = 3,
                        F.col("nrm") * F.col("c_nrm"))
     asn = e.join(F.broadcast(cfr)).select(
         "vec_id", "cid",
-        F.greatest(F.lit(0.0), F.lit(1.0) - F.coalesce(cos, F.lit(1.0)))
+        F.greatest(F.lit(0.0), F.lit(1.0) - F.coalesce(cos, F.lit(0.0)))
         .alias("_d"))
     w = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("cid"))
     weights = {int(row["cid"]): int(row["n"]) for row in
@@ -541,31 +557,44 @@ def ivf_seed_scalable(emb: DataFrame, k: int = N_CENTROIDS, rounds: int = 3,
                .groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()}
 
     # driver-side deterministic weighted greedy k-center over ~1+rounds*l
-    # candidates (tiny by construction)
-    crows = cfr.collect()
-    ids = np.array([int(row["cid"]) for row in crows])
-    vecs = np.array([list(row["cv"]) for row in crows], dtype=np.float64)
-    nrms = np.array([float(row["c_nrm"]) for row in crows])
-    ws = np.array([weights.get(int(i), 0) for i in ids], dtype=np.float64)
-    order = np.argsort(ids)
-    ids, vecs, nrms, ws = ids[order], vecs[order], nrms[order], ws[order]
+    # candidates (tiny by construction). Plain sequential Python floats,
+    # NOT numpy: BLAS dot reorders the accumulation, which would break the
+    # bit-parity contract with the SQL fold.
+    crows = sorted(cfr.collect(), key=lambda row: int(row["cid"]))
+    ids = [int(row["cid"]) for row in crows]
+    vecs = [[float(x) for x in row["cv"]] for row in crows]
+    nrms = [float(row["c_nrm"]) for row in crows]
+    ws = [float(weights.get(i, 0)) for i in ids]
 
-    def ang(i: int) -> np.ndarray:
-        denom = nrms * nrms[i]
-        with np.errstate(invalid="ignore", divide="ignore"):
-            c = np.where(denom > 0, vecs @ vecs[i] / denom, 0.0)
-        return np.maximum(0.0, 1.0 - c)
+    def ang(i: int, j: int) -> float:
+        """max(0, 1 - cos(cand_i, cand_j)), dot in strict index order."""
+        denom = nrms[j] * nrms[i]
+        if not denom > 0:
+            return 1.0
+        acc = 0.0
+        vi, vj = vecs[i], vecs[j]
+        for t in range(len(vi)):
+            acc += vi[t] * vj[t]
+        return max(0.0, 1.0 - acc / denom)
 
-    start = int(np.lexsort((ids, -ws))[0])  # max weight, tie -> min vec_id
-    chosen = [start]
-    mind = ang(start)
+    start = max(range(len(ids)), key=lambda i: (ws[i], -ids[i]))
+    chosen, taken = [start], {start}
+    mind = [ang(start, j) for j in range(len(ids))]
     while len(chosen) < min(k, len(ids)):
-        gain = ws * mind
-        gain[chosen] = -1.0
-        nxt = int(np.lexsort((ids, -gain))[0])
-        chosen.append(nxt)
-        mind = np.minimum(mind, ang(nxt))
-    out = [(rank, int(ids[i])) for rank, i in enumerate(chosen)]
+        best_i, best_g = -1, -1.0
+        for i in range(len(ids)):
+            if i in taken:
+                continue
+            g = ws[i] * mind[i]
+            if g > best_g:  # strict >: ties keep the smaller vec_id
+                best_i, best_g = i, g
+        chosen.append(best_i)
+        taken.add(best_i)
+        for j in range(len(ids)):
+            a = ang(best_i, j)
+            if a < mind[j]:
+                mind[j] = a
+    out = [(rank, ids[i]) for rank, i in enumerate(chosen)]
     if len(out) < k:  # degenerate tiny corpus: pad with smallest unused ids
         used = {v for _, v in out}
         pad = [int(row["vec_id"]) for row in
@@ -573,3 +602,130 @@ def ivf_seed_scalable(emb: DataFrame, k: int = N_CENTROIDS, rounds: int = 3,
                .orderBy("vec_id").limit(k - len(out)).collect()]
         out += [(len(out) + j, v) for j, v in enumerate(pad)]
     return spark.createDataFrame(out, "rank int, vec_id bigint")
+
+
+def ivf_seed_scalable_oracle(k: int = N_CENTROIDS, rounds: int = 3,
+                             oversample: int | None = None,
+                             seed: int = 42) -> str:
+    """Exact-replay DuckDB twin of ``ivf_seed_scalable`` (round-6 verdict
+    item 2: the one registered query without a driver oracle). Every
+    arithmetic step is engine-portable by construction:
+
+    - distances come from ``portable.dot`` folds (index-order accumulation
+      -> bit-identical doubles in both engines);
+    - phi sums nano-unit int64 quantized distances (order-free);
+    - the Bernoulli test replays the same md5-uniform — DuckDB parses the
+      hex via CAST('0x'||substr AS BIGINT), Spark via conv(_,16,10);
+    - the driver-side weighted greedy unrolls into k-1 chained MATERIALIZED
+      CTEs, the same incremental LEAST fold as the farthest-seed oracle.
+
+    Valid whenever the sampled candidate pool reaches k (true for the test
+    corpora; the degenerate pad path is pytest-covered instead)."""
+    d = DUCK
+    l = oversample if oversample is not None else 2 * k
+    D0 = "CAST(0.0 AS DOUBLE)"
+    D1 = "CAST(1.0 AS DOUBLE)"
+    nrm_self = f"sqrt({d.dot('embedding', 'embedding')})"
+
+    def dist(dot_expr: str, vn: str, cn: str) -> str:
+        """dist_to's d2: zero-norm corpus vector -> 0, NULL cos -> 1.0."""
+        cos = f"(({dot_expr}) / nullif(({vn}) * ({cn}), {D0}))"
+        return (f"CASE WHEN {vn} = {D0} THEN {D0} ELSE "
+                f"GREATEST({D0}, {D1} - COALESCE({cos}, {D0})) END")
+
+    d2q = f"CAST(floor(d2 * CAST(1e9 AS DOUBLE)) AS BIGINT)"
+    parts = [f"""WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding, {nrm_self} AS nrm FROM embeddings
+),
+cand0 AS MATERIALIZED (
+  SELECT vec_id, embedding, nrm FROM e WHERE nrm > 0
+  ORDER BY vec_id LIMIT 1
+),
+m0 AS MATERIALIZED (
+  SELECT v.vec_id, v.embedding, v.nrm,
+         {dist(d.dot('v.embedding', 'c.embedding'), 'v.nrm', 'c.nrm')} AS d2
+  FROM e v CROSS JOIN cand0 c
+)"""]
+    for r in range(rounds):
+        u = (f"CAST(CAST(('0x' || substring(md5(CAST(m.vec_id AS VARCHAR) "
+             f"|| '_{r}_{seed}'), 1, 8)) AS BIGINT) AS DOUBLE) "
+             f"/ CAST(4294967296.0 AS DOUBLE)")
+        parts.append(f""",
+phi{r} AS (
+  SELECT SUM(CAST(floor(d2 * CAST(1e9 AS DOUBLE)) AS BIGINT)) AS phi
+  FROM m{r}
+),
+s{r} AS MATERIALIZED (
+  SELECT m.vec_id, m.embedding, m.nrm
+  FROM m{r} m CROSS JOIN phi{r} p
+  WHERE p.phi IS NOT NULL AND p.phi > 0
+    AND ({u}) * CAST(p.phi AS DOUBLE)
+        < CAST({l} AS DOUBLE)
+          * CAST(CAST(floor(m.d2 * CAST(1e9 AS DOUBLE)) AS BIGINT) AS DOUBLE)
+    AND m.vec_id NOT IN (SELECT vec_id FROM cand{r})
+),
+cand{r + 1} AS MATERIALIZED (
+  SELECT * FROM cand{r}
+  UNION ALL SELECT vec_id, embedding, nrm FROM s{r}
+),
+m{r + 1} AS MATERIALIZED (
+  SELECT m.vec_id, m.embedding, m.nrm,
+         CASE WHEN t.nd2 IS NULL THEN m.d2
+              ELSE LEAST(m.d2, t.nd2) END AS d2
+  FROM m{r} m LEFT JOIN (
+    SELECT v.vec_id,
+           MIN({dist(d.dot('v.embedding', 's.embedding'),
+                     'v.nrm', 's.nrm')}) AS nd2
+    FROM e v CROSS JOIN s{r} s GROUP BY v.vec_id
+  ) t ON m.vec_id = t.vec_id
+)""")
+    R = rounds
+    # weights: nearest-candidate assignment (ties -> smaller cid), then a
+    # LEFT JOIN so a candidate that wins no corpus vector keeps weight 0
+    asn_d = (f"GREATEST({D0}, {D1} - COALESCE("
+             f"({d.dot('v.embedding', 'c.embedding')}) "
+             f"/ nullif(v.nrm * c.nrm, {D0}), {D0}))")
+    parts.append(f""",
+asn AS MATERIALIZED (
+  SELECT v.vec_id, c.vec_id AS cid, {asn_d} AS _d
+  FROM e v CROSS JOIN cand{R} c
+),
+wt AS MATERIALIZED (
+  SELECT c.vec_id AS cid, c.embedding, c.nrm,
+         CAST(COALESCE(t.n, 0) AS DOUBLE) AS w
+  FROM cand{R} c LEFT JOIN (
+    SELECT cid, COUNT(*) AS n FROM (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY _d ASC, cid ASC) AS rn
+      FROM asn
+    ) WHERE rn = 1 GROUP BY cid
+  ) t ON c.vec_id = t.cid
+),
+g0 AS MATERIALIZED (
+  SELECT cid, embedding, nrm, w FROM wt ORDER BY w DESC, cid ASC LIMIT 1
+)""")
+    ang = (f"GREATEST({D0}, {D1} - (CASE WHEN c.nrm * g.nrm > {D0} THEN "
+           f"({d.dot('c.embedding', 'g.embedding')}) / (c.nrm * g.nrm) "
+           f"ELSE {D0} END))")
+    for i in range(1, k):
+        src = "g0" if i == 1 else f"g{i - 1}"
+        prev = "wt" if i == 1 else f"gm{i - 1}"
+        mind = ang if i == 1 else f"LEAST(c.mind, {ang})"
+        parts.append(f""",
+gm{i} AS MATERIALIZED (
+  SELECT c.cid, c.embedding, c.nrm, c.w, {mind} AS mind
+  FROM {prev} c CROSS JOIN {src} g WHERE c.cid <> g.cid
+),
+g{i} AS MATERIALIZED (
+  SELECT cid, embedding, nrm, w, mind FROM gm{i}
+  ORDER BY (w * mind) DESC, cid ASC LIMIT 1
+)""")
+    wins = "\n  UNION ALL ".join(
+        [f"SELECT 0 AS r, cid FROM g0"]
+        + [f"SELECT {i}, cid FROM g{i}" for i in range(1, k)])
+    parts.append(f"""
+SELECT CAST(r AS INTEGER) AS rank, CAST(cid AS BIGINT) AS vec_id FROM (
+  {wins}
+)""")
+    return "".join(parts)

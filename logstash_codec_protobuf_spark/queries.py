@@ -766,8 +766,10 @@ def pb_wire_decode_jvmdyn(spark: SparkSession, sf_dir: str) -> DataFrame:
     shades a complete protobuf-java runtime, so
     ``operators/pb_wire.decode_turn_wire_jvm_dynamic`` decodes the wire
     bytes JVM-side with ZERO Python workers — descriptor set compiled by
-    ``descriptors.descriptor_set_bytes``, canonical protobuf JSON parsed by
-    Catalyst ``from_json``). Shares ``pb_wire_decode``'s oracle verbatim:
+    ``descriptors.descriptor_set_bytes``, ``WireDecodeRow`` materializing
+    the ``DynamicMessage`` directly as a Catalyst Row; no JSON detour —
+    that is the separate ``jvm_json`` foil). Shares ``pb_wire_decode``'s
+    oracle verbatim:
     a green row here is execution evidence for the cluster decode path
     (reference hot loop protobuf.rb:212-218)."""
     enc_df = PW.encode_turn_wire(_good_flat(spark, sf_dir))
@@ -2053,16 +2055,17 @@ def ivf_seed_farthest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IVF.ivf_seed_farthest(load_table(spark, sf_dir, "embeddings"))
 
 
-@query("ivf_seed_scalable")  # iterative sampled seeding: rows-only check —
-# the driver-side weighted greedy selection over kmeans|| candidates is not
-# single-statement-SQL-expressible; determinism + cluster coverage + recall
-# parity vs farthest seeding are pinned by tests/test_dedup_similarity.py
+@query("ivf_seed_scalable", IVF.ivf_seed_scalable_oracle())
 def ivf_seed_scalable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kmeans|| sampled seeding (Bahmani VLDB'12) — the large-K seeding path
     (round-5 verdict item 4): O(rounds) corpus passes independent of K,
     md5-hash Bernoulli sampling (RNG-free, partition-order-free),
     deterministic weighted greedy k-center over the tiny candidate set.
-    Replaces farthest-point's K-1 driver rounds at K~10^4-10^5."""
+    Replaces farthest-point's K-1 driver rounds at K~10^4-10^5. Fully
+    driver-oracled since round 7: phi and the Bernoulli test run on
+    nano-unit int64 distances (order-free sums), every double comes from
+    an index-order portable dot fold, and the driver greedy unrolls into
+    chained CTEs — see ivf.ivf_seed_scalable_oracle."""
     return IVF.ivf_seed_scalable(load_table(spark, sf_dir, "embeddings"))
 
 

@@ -21,12 +21,10 @@ def test_query_matches_oracle(spark, name):
 # Queries deliberately registered WITHOUT a DuckDB oracle (the driver records
 # a rows-only check for these; the judge sees which). Each needs a reason and
 # a pytest that pins its semantics instead.
-ROWS_ONLY = {
-    # kmeans|| sampled seeding: multi-round min-distance refresh + driver-side
-    # weighted greedy k-center — iterative, not single-statement-SQL. Pinned
-    # by tests/test_dedup_similarity.py (determinism, cluster coverage, K=64).
-    "ivf_seed_scalable",
-}
+ROWS_ONLY: set[str] = set()
+# Empty since round 7: ivf_seed_scalable — the last rows-only holdout —
+# gained an exact-replay chained-CTE oracle (nano-unit int64 phi, portable
+# dot folds, unrolled greedy; ivf.ivf_seed_scalable_oracle).
 
 
 def test_every_query_has_oracle():

@@ -95,9 +95,10 @@ def test_every_query_has_an_oracle_and_order_matches():
     # oracle_sql() iterates in the same order as queries()
     order = [n for n in qs if n in os]
     assert list(os) == order
-    # rows-only queries (no SQL-expressible oracle) stay the rare exception
+    # since round 7 EVERY query has an exact oracle (ivf_seed_scalable was
+    # the last rows-only holdout)
     no_oracle = set(qs) - set(os)
-    assert no_oracle <= {"ivf_seed_scalable"}, no_oracle
+    assert not no_oracle, no_oracle
 
 
 def test_tail_rotation_is_only_r5_green():
