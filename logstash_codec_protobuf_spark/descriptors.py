@@ -26,9 +26,12 @@ The reference plugin solves the same problem one layer up: it loads compiled
 (protobuf.rb:164-199); this module is that compilation step, targeting
 Spark's descriptor-set entry point instead of a Ruby VM.
 
-Maps and google.protobuf.Struct fields are not emitted (the messages that
-ride the jar swap-in — turn_wire and friends — don't use them; the Arrow
-decoder remains the implementation for those).
+``map<k,v>`` fields compile to the canonical protoc lowering: a synthetic
+nested ``<FieldName>Entry`` message (key=1, value=2) with
+``options.map_entry = true`` and the field itself repeated — protobuf-java
+then reports ``FieldDescriptor.isMapField()`` exactly as for a protoc
+set. google.protobuf.Struct fields are not emitted (the Arrow decoder
+remains the implementation for those).
 """
 
 from __future__ import annotations
@@ -48,13 +51,24 @@ _TYPE_ENUM = 14
 _TYPE_MESSAGE = 11
 
 
+def _entry_name(field_name: str) -> str:
+    """protoc's synthetic map-entry message name: CamelCase + 'Entry'."""
+    return "".join(p.capitalize() for p in field_name.split("_")) + "Entry"
+
+
+def _map_kv(ftype: str) -> tuple[str, str]:
+    k, v = ftype[4:-1].split(",", 1)
+    return k.strip(), v.strip()
+
+
 def _field_descriptor(spec_field, number: int, oneof_index: int | None,
-                      package: str) -> bytes:
+                      package: str, msg_name: str = "") -> bytes:
     f = spec_field
     buf = py_field_string(1, f.name)
     buf += py_field_varint(3, number)
+    is_map = f.type.startswith("map<")
     buf += py_field_varint(
-        4, _LABEL_REPEATED if f.repeated else _LABEL_OPTIONAL
+        4, _LABEL_REPEATED if (f.repeated or is_map) else _LABEL_OPTIONAL
     )
     if f.type in _TYPE_CODES:
         buf += py_field_varint(5, _TYPE_CODES[f.type])
@@ -64,6 +78,10 @@ def _field_descriptor(spec_field, number: int, oneof_index: int | None,
     elif f.type.startswith("message:"):
         buf += py_field_varint(5, _TYPE_MESSAGE)
         buf += py_field_string(6, f".{package}.{f.type[8:]}")
+    elif is_map:
+        buf += py_field_varint(5, _TYPE_MESSAGE)
+        buf += py_field_string(
+            6, f".{package}.{msg_name}.{_entry_name(f.name)}")
     else:
         raise ValueError(f"descriptor set: unsupported field type {f.type}")
     if oneof_index is not None:
@@ -71,6 +89,34 @@ def _field_descriptor(spec_field, number: int, oneof_index: int | None,
         # on the wire, not omitted — py_field_varint emits unconditionally
         buf += py_field_varint(9, oneof_index)
     buf += py_field_string(10, f.name)  # json_name
+    return buf
+
+
+def _map_entry_descriptor(f, package: str) -> bytes:
+    """The synthetic nested DescriptorProto protoc lowers a map field to:
+    message <Name>Entry { options.map_entry = true; K key = 1; V value = 2 }
+    """
+    ktype, vtype = _map_kv(f.type)
+    buf = py_field_string(1, _entry_name(f.name))
+    for num, (fname, ftype) in enumerate([("key", ktype), ("value", vtype)],
+                                         start=1):
+        fb = py_field_string(1, fname)
+        fb += py_field_varint(3, num)
+        fb += py_field_varint(4, _LABEL_OPTIONAL)
+        if ftype in _TYPE_CODES:
+            fb += py_field_varint(5, _TYPE_CODES[ftype])
+        elif ftype.startswith("enum:"):
+            fb += py_field_varint(5, _TYPE_ENUM)
+            fb += py_field_string(6, f".{package}.{ftype[5:]}")
+        elif ftype.startswith("message:"):
+            fb += py_field_varint(5, _TYPE_MESSAGE)
+            fb += py_field_string(6, f".{package}.{ftype[8:]}")
+        else:
+            raise ValueError(f"descriptor set: unsupported map type {ftype}")
+        fb += py_field_string(10, fname)  # json_name
+        buf += py_field_len(2, fb)
+    # DescriptorProto.options (7) -> MessageOptions.map_entry (7) = true
+    buf += py_field_len(7, py_field_varint(7, 1))
     return buf
 
 
@@ -82,7 +128,10 @@ def _message_descriptor(msg: MessageSpec, package: str) -> bytes:
     buf = py_field_string(1, msg.name)
     for num, f in msg.wire_fields():
         idx = groups.index(f.oneof) if f.oneof else None
-        buf += py_field_len(2, _field_descriptor(f, num, idx, package))
+        buf += py_field_len(
+            2, _field_descriptor(f, num, idx, package, msg.name))
+        if f.type.startswith("map<"):  # nested_type = 3
+            buf += py_field_len(3, _map_entry_descriptor(f, package))
     for g in groups:
         buf += py_field_len(8, py_field_string(1, g))
     return buf
@@ -111,8 +160,11 @@ def descriptor_set_bytes(registry: SchemaRegistry,
     while frontier:
         spec = registry.messages[frontier.pop()]
         for f in spec.fields:
-            if f.type.startswith("message:"):
-                dep = f.type[8:]
+            ftype = f.type
+            if ftype.startswith("map<"):  # a message-typed map VALUE is a dep
+                ftype = _map_kv(ftype)[1]
+            if ftype.startswith("message:"):
+                dep = ftype[8:]
                 if dep not in seen:
                     if dep not in registry.messages:
                         raise ValueError(

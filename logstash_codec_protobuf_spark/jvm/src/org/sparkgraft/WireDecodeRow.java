@@ -1,8 +1,12 @@
 package org.sparkgraft;
 
+import java.math.BigDecimal;
 import java.util.ArrayList;
 import java.util.Base64;
+import java.util.HashMap;
+import java.util.LinkedHashMap;
 import java.util.List;
+import java.util.Map;
 import java.util.concurrent.ConcurrentHashMap;
 
 import org.apache.spark.sql.Row;
@@ -19,39 +23,72 @@ import org.sparkproject.connect.protobuf.DynamicMessage;
  * re-parse): payload bytes -> DynamicMessage -> Row, zero Python workers
  * and zero Arrow exchange anywhere in the plan.
  *
- * Row layout (must match the StructType the Python side registers):
- * the message's fields in DECLARED order, then one string slot per oneof
- * carrying the name of the member set on the wire (null when none).
+ * Row layout (must match the StructType the Python side registers),
+ * applied RECURSIVELY: a message's fields in DECLARED order — nested
+ * singular messages as nested Rows, repeated fields as lists, map fields
+ * as lists of (key, value) Rows — then one string slot per oneof carrying
+ * the name of the member set on the wire (null when none).
  *
  * Presence contract (parity with the engine's Arrow decoder,
- * operators/pb_wire.py decode plan): fields WITH presence (oneof members)
- * are null unless set; no-presence proto3 scalars emit their defaults
- * (getField returns them). Dialects differ only in enums: pb3 -> NAME
- * (String), pb2 -> code (Long, protobuf.rb:134-136).
+ * operators/pb_wire.py decode plan): fields WITH presence (oneof members,
+ * singular message fields) are null unless set; no-presence proto3
+ * scalars emit their defaults (getField returns them). Map entries
+ * collapse last-value-wins keeping first-seen key order — exactly a
+ * Python dict built in wire order, which is what py_decode produces.
+ * Unsigned widths widen like the Arrow decoder's columns: uint32/fixed32
+ * -> long, uint64/fixed64 -> DECIMAL(20,0) (full 2^64 range). Dialects
+ * differ only in enums: pb3 -> NAME (String; unregistered codes pass
+ * through as their DECIMAL STRING, matching the Arrow/vector paths),
+ * pb2 -> code (Long, protobuf.rb:134-136).
  *
- * Scope: flat scalar messages (the hot turn_wire path). The Python caller
- * refuses repeated/message/map fields up front and routes those to the
- * Arrow decoder; {@link #call} returns null (-> dead-letter row) on any
- * parse failure.
+ * Scope: any non-RECURSIVE message graph (the Python schema builder
+ * cannot express a recursive type as a finite StructType and routes
+ * those — unicorn, human — to the Arrow decoder). This covers the
+ * reference's nested hot shapes: repeated nested messages
+ * (spec/codecs/pb3_decode_spec.rb:172-241 DNS questions) and proto3
+ * maps. {@link #call} returns null (-> dead-letter row) on any parse
+ * failure.
  */
 public class WireDecodeRow implements UDF2<byte[], String, Row> {
 
     private static final ConcurrentHashMap<String, Entry> CACHE =
         new ConcurrentHashMap<>();
 
-    private static final class Entry {
-        final Descriptors.Descriptor descriptor;
+    /** Precomputed field/oneof arrays for one message descriptor. */
+    private static final class Shape {
         final Descriptors.FieldDescriptor[] fields;
         final Descriptors.OneofDescriptor[] oneofs;
+
+        Shape(Descriptors.Descriptor d) {
+            this.fields = d.getFields()
+                .toArray(new Descriptors.FieldDescriptor[0]);
+            this.oneofs = d.getOneofs()
+                .toArray(new Descriptors.OneofDescriptor[0]);
+        }
+    }
+
+    private static final class Entry {
+        final Descriptors.Descriptor descriptor;
+        final Map<Descriptors.Descriptor, Shape> shapes = new HashMap<>();
         final boolean pb2;
 
         Entry(Descriptors.Descriptor descriptor, boolean pb2) {
             this.descriptor = descriptor;
-            List<Descriptors.FieldDescriptor> fs = descriptor.getFields();
-            this.fields = fs.toArray(new Descriptors.FieldDescriptor[0]);
-            this.oneofs = descriptor.getOneofs()
-                .toArray(new Descriptors.OneofDescriptor[0]);
             this.pb2 = pb2;
+            collect(descriptor);
+        }
+
+        private void collect(Descriptors.Descriptor d) {
+            if (shapes.containsKey(d)) {
+                return;  // shared submessage (cycles are refused upstream)
+            }
+            shapes.put(d, new Shape(d));
+            for (Descriptors.FieldDescriptor fd : d.getFields()) {
+                if (fd.getJavaType()
+                        == Descriptors.FieldDescriptor.JavaType.MESSAGE) {
+                    collect(fd.getMessageType());
+                }
+            }
         }
     }
 
@@ -89,12 +126,12 @@ public class WireDecodeRow implements UDF2<byte[], String, Row> {
 
     private static Object convert(Object v,
                                   Descriptors.FieldDescriptor fd,
-                                  boolean pb2) {
+                                  Entry entry) {
         switch (fd.getJavaType()) {
             case ENUM:
                 Descriptors.EnumValueDescriptor ev =
                     (Descriptors.EnumValueDescriptor) v;
-                if (pb2) {
+                if (entry.pb2) {
                     return (long) ev.getNumber();
                 }
                 // open-enum unrecognized code: DynamicMessage hands back a
@@ -107,9 +144,79 @@ public class WireDecodeRow implements UDF2<byte[], String, Row> {
                     : (Object) ev.getName();
             case BYTE_STRING:
                 return ((ByteString) v).toByteArray();
+            case INT:
+                // uint32/fixed32 live in a signed Integer: widen unsigned
+                // (the Arrow decoder's column is already long-typed)
+                Descriptors.FieldDescriptor.Type t32 = fd.getType();
+                if (t32 == Descriptors.FieldDescriptor.Type.UINT32
+                        || t32 == Descriptors.FieldDescriptor.Type.FIXED32) {
+                    return Integer.toUnsignedLong((Integer) v);
+                }
+                return v;
+            case LONG:
+                // uint64/fixed64 live in a signed Long: full 2^64 range
+                // only fits DECIMAL(20,0) — same type the Arrow path uses
+                Descriptors.FieldDescriptor.Type t64 = fd.getType();
+                if (t64 == Descriptors.FieldDescriptor.Type.UINT64
+                        || t64 == Descriptors.FieldDescriptor.Type.FIXED64) {
+                    return new BigDecimal(Long.toUnsignedString((Long) v));
+                }
+                return v;
+            case MESSAGE:
+                return buildRow((DynamicMessage) v, entry);
             default:
-                return v;  // Integer / Long / Float / Double / Boolean / String
+                return v;  // Float / Double / Boolean / String
         }
+    }
+
+    private static Object convertField(DynamicMessage message,
+                                       Descriptors.FieldDescriptor fd,
+                                       Entry entry) {
+        if (fd.isMapField()) {
+            // wire format is repeated {1:key, 2:value} entry messages;
+            // collapse duplicates last-value-wins, first-seen key order —
+            // bit-for-bit what a Python dict filled in wire order holds
+            Descriptors.Descriptor ed = fd.getMessageType();
+            Descriptors.FieldDescriptor kf = ed.findFieldByNumber(1);
+            Descriptors.FieldDescriptor vf = ed.findFieldByNumber(2);
+            LinkedHashMap<Object, Object> m = new LinkedHashMap<>();
+            for (Object o : (List<?>) message.getField(fd)) {
+                DynamicMessage e = (DynamicMessage) o;
+                m.put(convert(e.getField(kf), kf, entry),
+                      convert(e.getField(vf), vf, entry));
+            }
+            List<Row> out = new ArrayList<>(m.size());
+            for (Map.Entry<Object, Object> en : m.entrySet()) {
+                out.add(RowFactory.create(en.getKey(), en.getValue()));
+            }
+            return out;
+        }
+        if (fd.isRepeated()) {
+            List<?> vs = (List<?>) message.getField(fd);
+            List<Object> out = new ArrayList<>(vs.size());
+            for (Object o : vs) {
+                out.add(convert(o, fd, entry));
+            }
+            return out;
+        }
+        if (fd.hasPresence() && !message.hasField(fd)) {
+            return null;
+        }
+        return convert(message.getField(fd), fd, entry);
+    }
+
+    private static Row buildRow(DynamicMessage message, Entry entry) {
+        Shape shape = entry.shapes.get(message.getDescriptorForType());
+        Object[] out = new Object[shape.fields.length + shape.oneofs.length];
+        for (int i = 0; i < shape.fields.length; i++) {
+            out[i] = convertField(message, shape.fields[i], entry);
+        }
+        for (int j = 0; j < shape.oneofs.length; j++) {
+            Descriptors.FieldDescriptor set =
+                message.getOneofFieldDescriptor(shape.oneofs[j]);
+            out[shape.fields.length + j] = set == null ? null : set.getName();
+        }
+        return RowFactory.create(out);
     }
 
     @Override
@@ -124,20 +231,6 @@ public class WireDecodeRow implements UDF2<byte[], String, Row> {
         } catch (Exception e) {
             return null;  // dead-letter: caller substitutes the error struct
         }
-        Object[] out = new Object[entry.fields.length + entry.oneofs.length];
-        for (int i = 0; i < entry.fields.length; i++) {
-            Descriptors.FieldDescriptor fd = entry.fields[i];
-            if (fd.hasPresence() && !message.hasField(fd)) {
-                out[i] = null;
-            } else {
-                out[i] = convert(message.getField(fd), fd, entry.pb2);
-            }
-        }
-        for (int j = 0; j < entry.oneofs.length; j++) {
-            Descriptors.FieldDescriptor set =
-                message.getOneofFieldDescriptor(entry.oneofs[j]);
-            out[entry.fields.length + j] = set == null ? null : set.getName();
-        }
-        return RowFactory.create(out);
+        return buildRow(message, entry);
     }
 }

@@ -1000,32 +1000,61 @@ _JVM_ROW_TYPES = {
     "sint64": T.LongType(), "bool": T.BooleanType(),
     "double": T.DoubleType(), "float": T.FloatType(),
     "bytes": T.BinaryType(),
+    # unsigned widths widen exactly like the Arrow decoder's columns
+    "uint32": T.LongType(), "fixed32": T.LongType(),
+    "uint64": T.DecimalType(20, 0), "fixed64": T.DecimalType(20, 0),
 }
 
 
-def _jvm_row_schema(spec, proto_version: int) -> T.StructType:
-    """The StructType WireDecodeRow returns for ``spec``: wire fields in
-    descriptor order (what ``Descriptor.getFields()`` yields for the set
-    ``descriptors.descriptor_set_bytes`` emits), then one ``oneof_<group>``
-    string slot per oneof. Raises for shapes the flat JVM row path doesn't
-    cover (repeated/message/map) — callers route those to the Arrow
-    decoder."""
+def _jvm_scalar_type(ftype: str, proto_version: int) -> T.DataType:
+    if ftype.startswith("enum:"):
+        return T.StringType() if proto_version == 3 else T.LongType()
+    t = _JVM_ROW_TYPES.get(ftype)
+    if t is None:
+        raise NotImplementedError(
+            f"jvm_dynamic: unsupported field type {ftype}")
+    return t
+
+
+def _jvm_row_schema(spec, proto_version: int,
+                    registry: SchemaRegistry | None = None,
+                    _stack: tuple[str, ...] = ()) -> T.StructType:
+    """The StructType WireDecodeRow returns for ``spec``, RECURSIVELY: wire
+    fields in descriptor order (what ``Descriptor.getFields()`` yields for
+    the set ``descriptors.descriptor_set_bytes`` emits) — nested singular
+    messages as nested structs, repeated fields as arrays, ``map<k,v>``
+    fields as ``array<struct<key,value>>`` in first-seen key order — then
+    one ``oneof_<group>`` string slot per oneof. Raises for RECURSIVE
+    message graphs (unicorn, human): a cycle has no finite StructType, so
+    callers route those to the Arrow decoder (which depth-bounds them via
+    ``max_recursion_depth``)."""
+    reg = registry if registry is not None else default_registry()
+    if spec.name in _stack:
+        raise NotImplementedError(
+            f"jvm_dynamic: recursive message type {spec.name} "
+            f"(via {' -> '.join(_stack)}) has no finite struct schema — "
+            "use the arrow impl")
+    stack = _stack + (spec.name,)
     fields = []
     groups: list[str] = []
     for _num, f in spec.wire_fields():
-        if f.repeated or f.type.startswith("message:"):
-            raise NotImplementedError(
-                f"jvm_dynamic decodes flat scalar messages; field {f.name} "
-                f"is {f.type}{' repeated' if f.repeated else ''} — use the "
-                "arrow impl"
-            )
-        if f.type.startswith("enum:"):
-            t = T.StringType() if proto_version == 3 else T.LongType()
+        if f.type.startswith("message:"):
+            t: T.DataType = _jvm_row_schema(
+                reg.messages[f.type[8:]], proto_version, reg, stack)
+        elif f.type.startswith("map<"):
+            kt, vt = (s.strip() for s in f.type[4:-1].split(",", 1))
+            vtype = (_jvm_row_schema(reg.messages[vt[8:]], proto_version,
+                                     reg, stack)
+                     if vt.startswith("message:")
+                     else _jvm_scalar_type(vt, proto_version))
+            t = T.ArrayType(T.StructType([
+                T.StructField("key", _jvm_scalar_type(kt, proto_version)),
+                T.StructField("value", vtype),
+            ]))
         else:
-            t = _JVM_ROW_TYPES.get(f.type)
-            if t is None:
-                raise NotImplementedError(
-                    f"jvm_dynamic: unsupported field type {f.type}")
+            t = _jvm_scalar_type(f.type, proto_version)
+        if f.repeated and not f.type.startswith("map<"):
+            t = T.ArrayType(t)
         fields.append(T.StructField(f.name, t))
         if f.oneof and f.oneof not in groups:
             groups.append(f.oneof)
@@ -1055,16 +1084,17 @@ def _ensure_jvm_row_udf(spark, message: str, proto_version: int,
     return name
 
 
-def _jvm_wire_cfg(reg: SchemaRegistry, proto_version: int) -> str:
+def _jvm_wire_cfg(reg: SchemaRegistry, proto_version: int,
+                  message: str = "turn_wire") -> str:
     from ..descriptors import descriptor_set_bytes
 
     dialect = "pb3" if proto_version == 3 else "pb2"
     # proto3 syntax for BOTH dialects: the engine's pb2 contract keeps
     # proto3-style default emission (decode-plan template, pb_wire.py:169)
     # and differs only in enum passthrough, carried by the dialect flag
-    desc = descriptor_set_bytes(reg, ["turn_wire"], syntax="proto3")
+    desc = descriptor_set_bytes(reg, [message], syntax="proto3")
     return (base64.b64encode(desc).decode("ascii")
-            + "|sparkgraft.turn_wire|" + dialect)
+            + f"|sparkgraft.{message}|" + dialect)
 
 
 def decode_turn_wire_jvm_dynamic(df: DataFrame, payload_col: str = "payload",
@@ -1105,6 +1135,63 @@ def decode_turn_wire_jvm_dynamic(df: DataFrame, payload_col: str = "payload",
         )
     )
     schema = TURN_WIRE_DECODED if proto_version == 3 else TURN_WIRE_DECODED_PB2
+    return (
+        out.withColumn(
+            "decoded",
+            F.coalesce(
+                decoded.cast(schema),
+                F.struct(*[
+                    (F.lit(WIRE_ERROR) if f.name == "error"
+                     else F.lit(None)).cast(f.dataType).alias(f.name)
+                    for f in schema
+                ]),
+            ),
+        )
+        .drop("_pb")
+    )
+
+
+def decode_message_wire_jvm_dynamic(df: DataFrame, message: str,
+                                    payload_col: str = "payload",
+                                    registry: SchemaRegistry | None = None,
+                                    proto_version: int = 3) -> DataFrame:
+    """Generic JVM-side wire decode for ANY registered non-recursive message
+    (round-6 verdict item 3: the jvm_dynamic path previously refused
+    repeated/message/map fields). ``WireDecodeRow`` walks the
+    ``DynamicMessage`` recursively — repeated fields to arrays, nested
+    singular messages to nested structs, proto3 maps to
+    ``array<struct<key,value>>`` entries collapsed last-wins in first-seen
+    key order (a Python dict built in wire order, matching ``py_decode``) —
+    the exact shape the reference's recursive walk emits
+    (protobuf.rb:287-336; DNS repeated nested structs
+    spec/codecs/pb3_decode_spec.rb:172-241). Zero Python workers.
+
+    Returns ``df`` plus a ``decoded`` struct: the message's fields in
+    descriptor order, ``oneof_<group>`` slots, then ``error`` (NULL on
+    success; parse failures dead-letter with WIRE_ERROR, bytes kept).
+    Recursive types (unicorn, human) raise NotImplementedError — the Arrow
+    decoder with ``max_recursion_depth`` is the path for those."""
+    reg = registry if registry is not None else default_registry()
+    spec = reg.messages[message]
+    row_schema = _jvm_row_schema(spec, proto_version, reg)
+    name = _ensure_jvm_row_udf(df.sparkSession, message, proto_version,
+                               row_schema)
+    cfg = _jvm_wire_cfg(reg, proto_version, message)
+
+    out = df.withColumn(
+        "_pb", F.call_udf(name, F.col(payload_col), F.lit(cfg))
+    )
+    p = F.col("_pb")
+    schema = T.StructType(
+        list(row_schema.fields)
+        + [T.StructField("error", T.StringType())]
+    )
+    decoded = F.when(p.isNull(), F.lit(None)).otherwise(
+        F.struct(
+            *[p[f.name].alias(f.name) for f in row_schema.fields],
+            F.lit(None).cast("string").alias("error"),
+        )
+    )
     return (
         out.withColumn(
             "decoded",
@@ -1386,16 +1473,42 @@ def _make_contact_decode_udf(registry: SchemaRegistry):
     return _decode
 
 
-def contact_roundtrip(df: DataFrame, registry: SchemaRegistry | None = None
-                      ) -> DataFrame:
+def contact_roundtrip(df: DataFrame, registry: SchemaRegistry | None = None,
+                      impl: str = "arrow") -> DataFrame:
     """Encode (c_name, c_labels array<string>, c_numbers array<int>) as
-    contact wire bytes (proto3 map entries) and decode back."""
+    contact wire bytes (proto3 map entries) and decode back.
+
+    ``impl='jvm_dynamic'`` decodes the SAME bytes through the vendored
+    ``WireDecodeRow`` harness (round-6 verdict item 3: maps past the flat
+    scope) and re-projects to the Arrow twin's ``CONTACT_DECODED`` shape
+    with pure Column ops — entries sorted by label via ``array_sort``,
+    matching the Python ``sorted(dict.items())``."""
     reg = registry if registry is not None else default_registry()
     enc = df.withColumn(
         "payload",
         _encode_contact_udf(F.col("c_name"), F.col("c_labels"),
                             F.col("c_numbers")),
     )
+    if impl == "jvm_dynamic":
+        dec = decode_message_wire_jvm_dynamic(enc, "contact", "payload",
+                                              reg)
+        d = F.col("_jvm_decoded")
+        return (
+            dec.withColumnRenamed("decoded", "_jvm_decoded")
+            .withColumn(
+                "decoded",
+                F.struct(
+                    d["name"].alias("name"),
+                    F.array_sort(F.transform(
+                        d["phone_numbers"],
+                        lambda e: F.struct(e["key"].alias("label"),
+                                           e["value"].alias("number")),
+                    )).alias("phones"),
+                    d["error"].alias("error"),
+                ).cast(CONTACT_DECODED),
+            )
+            .drop("_jvm_decoded")
+        )
     return enc.withColumn("decoded",
                           _make_contact_decode_udf(reg)(F.col("payload")))
 
@@ -1733,17 +1846,48 @@ def _make_dns_questions_decode_udf(registry: SchemaRegistry):
 
 
 def dns_questions_roundtrip(df: DataFrame,
-                            registry: SchemaRegistry | None = None
-                            ) -> DataFrame:
+                            registry: SchemaRegistry | None = None,
+                            impl: str = "arrow") -> DataFrame:
     """Encode (id_dec, q_names, q_types, q_classes) as a dns_message with a
     populated REPEATED nested-message field and decode back. Each element
-    carries its own proto3 defaults (qtype/qclass omitted at 0)."""
+    carries its own proto3 defaults (qtype/qclass omitted at 0).
+
+    ``impl='jvm_dynamic'`` decodes the SAME bytes via ``WireDecodeRow``
+    (round-6 verdict item 3) and re-projects to the Arrow twin's
+    ``DNS_Q_DECODED`` shape with pure Column ops — the reference's exact
+    repeated-nested-struct scenario (spec/codecs/pb3_decode_spec.rb:172-241).
+    One documented seam: the JVM path decodes question names with a
+    binary->string cast (replacement chars on invalid UTF-8) where the
+    Arrow twin dead-letters — identical on any valid-UTF-8 corpus."""
     reg = registry if registry is not None else default_registry()
     enc = df.withColumn(
         "payload",
         _encode_dns_questions_udf(F.col("id_dec"), F.col("q_names"),
                                   F.col("q_types"), F.col("q_classes")),
     )
+    if impl == "jvm_dynamic":
+        dec = decode_message_wire_jvm_dynamic(enc, "dns_message", "payload",
+                                              reg)
+        d = F.col("_jvm_decoded")
+        return (
+            dec.withColumnRenamed("decoded", "_jvm_decoded")
+            .withColumn(
+                "decoded",
+                F.struct(
+                    d["id"].alias("id"),
+                    F.transform(
+                        d["question"],
+                        lambda q: F.struct(
+                            q["name"].cast("string").alias("name"),
+                            q["qtype"].alias("qtype"),
+                            q["qclass"].alias("qclass"),
+                        ),
+                    ).alias("questions"),
+                    d["error"].alias("error"),
+                ).cast(DNS_Q_DECODED),
+            )
+            .drop("_jvm_decoded")
+        )
     return enc.withColumn(
         "decoded", _make_dns_questions_decode_udf(reg)(F.col("payload"))
     )

@@ -1147,9 +1147,7 @@ def pb_wire_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pb_wire_map_entries",
-    """
+_MAP_ENTRIES_ORACLE = """
 SELECT event_id, 'c' || CAST(event_id AS STRING) AS name,
        'home' AS label, CAST(event_id % 1000 AS INTEGER) AS number
 FROM events
@@ -1157,14 +1155,11 @@ UNION ALL
 SELECT event_id, 'c' || CAST(event_id AS STRING) AS name,
        'work' AS label, CAST(event_id % 97 AS INTEGER) AS number
 FROM events
-""",
-)
-def pb_wire_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """proto3 map<string,int32> through REAL wire bytes (PhoneDirectory
-    fixture): each entry rides as its own {1:key, 2:value} sub-message,
-    zero-valued entries omit the value field (decoded back as 0). Decoded
-    maps are exploded to rows — multiset comparison is order-independent,
-    unlike map hash equality."""
+"""
+
+
+def _map_entries_frame(spark: SparkSession, sf_dir: str,
+                       impl: str = "arrow") -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         F.concat(F.lit("c"), F.col("event_id").cast("string")).alias("c_name"),
@@ -1172,7 +1167,7 @@ def pb_wire_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array((F.col("event_id") % 1000).cast("int"),
                 (F.col("event_id") % 97).cast("int")).alias("c_numbers"),
     )
-    out = PW.contact_roundtrip(ev)
+    out = PW.contact_roundtrip(ev, impl=impl)
     d = F.col("decoded")
     exploded = out.select(
         "event_id", d["name"].alias("name"),
@@ -1183,6 +1178,28 @@ def pb_wire_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ph")["label"].alias("label"),
         F.col("ph")["number"].alias("number"),
     )
+
+
+@query("pb_wire_map_entries", _MAP_ENTRIES_ORACLE)
+def pb_wire_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """proto3 map<string,int32> through REAL wire bytes (PhoneDirectory
+    fixture): each entry rides as its own {1:key, 2:value} sub-message,
+    zero-valued entries omit the value field (decoded back as 0). Decoded
+    maps are exploded to rows — multiset comparison is order-independent,
+    unlike map hash equality."""
+    return _map_entries_frame(spark, sf_dir)
+
+
+@query("pb_wire_map_entries_jvmdyn", _MAP_ENTRIES_ORACLE)
+def pb_wire_map_entries_jvmdyn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME proto3 map decode as ``pb_wire_map_entries``, forced through
+    the vendored JVM ``DynamicMessage`` harness (round-6 verdict item 3:
+    jvm_dynamic past flat messages). ``WireDecodeRow`` now walks maps —
+    entries collapsed last-wins in first-seen key order, exactly a Python
+    dict built in wire order — and the label sort happens in pure Column
+    ops (``array_sort``). Shares the original's oracle verbatim: a green
+    row here is execution evidence for the nested JVM decode path."""
+    return _map_entries_frame(spark, sf_dir, impl="jvm_dynamic")
 
 
 @query(
@@ -1436,9 +1453,7 @@ def pb_wire_float_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pb_wire_repeated_message",
-    """
+_REPEATED_MESSAGE_ORACLE = """
 SELECT event_id, CAST(0 AS INTEGER) AS pos,
        'h' || CAST(event_id AS STRING) || '.example' AS name,
        CAST(event_id % 16 AS BIGINT) AS qtype, CAST(1 AS BIGINT) AS qclass
@@ -1448,15 +1463,11 @@ SELECT event_id, CAST(1 AS INTEGER) AS pos,
        'alt' || CAST(event_id AS STRING) AS name,
        CAST(28 AS BIGINT) AS qtype, CAST(event_id % 3 AS BIGINT) AS qclass
 FROM events
-""",
-)
-def pb_wire_repeated_message(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REPEATED nested-message field through REAL wire bytes —
-    dns_message.question (dnsmessage_pb.rb:8-13; the repeated-messages decode
-    scenario of spec/codecs/pb3_decode_spec.rb:311-335): each element is its
-    own length-delimited sub-message with its own proto3 defaults (qtype 0 /
-    qclass 0 omitted on the wire, re-emitted on decode). Decoded arrays are
-    posexploded to rows so the comparison is scalar-only and order-pinned."""
+"""
+
+
+def _repeated_message_frame(spark: SparkSession, sf_dir: str,
+                            impl: str = "arrow") -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         F.col("event_id").cast("decimal(20,0)").alias("id_dec"),
@@ -1470,7 +1481,7 @@ def pb_wire_repeated_message(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.lit(1), (F.col("event_id") % 3).cast("int"))
         .alias("q_classes"),
     )
-    out = PW.dns_questions_roundtrip(ev)
+    out = PW.dns_questions_roundtrip(ev, impl=impl)
     d = F.col("decoded")
     exploded = out.select(
         "event_id", F.posexplode(d["questions"]).alias("pos", "q")
@@ -1481,6 +1492,31 @@ def pb_wire_repeated_message(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q")["qtype"].alias("qtype"),
         F.col("q")["qclass"].alias("qclass"),
     )
+
+
+@query("pb_wire_repeated_message", _REPEATED_MESSAGE_ORACLE)
+def pb_wire_repeated_message(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPEATED nested-message field through REAL wire bytes —
+    dns_message.question (dnsmessage_pb.rb:8-13; the repeated-messages decode
+    scenario of spec/codecs/pb3_decode_spec.rb:311-335): each element is its
+    own length-delimited sub-message with its own proto3 defaults (qtype 0 /
+    qclass 0 omitted on the wire, re-emitted on decode). Decoded arrays are
+    posexploded to rows so the comparison is scalar-only and order-pinned."""
+    return _repeated_message_frame(spark, sf_dir)
+
+
+@query("pb_wire_repeated_message_jvmdyn", _REPEATED_MESSAGE_ORACLE)
+def pb_wire_repeated_message_jvmdyn(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The SAME repeated-nested-message decode as ``pb_wire_repeated_message``
+    — the reference's DNS-questions scenario
+    (spec/codecs/pb3_decode_spec.rb:311-335) — forced through the vendored
+    JVM ``DynamicMessage`` harness (round-6 verdict item 3: jvm_dynamic
+    past flat messages). ``WireDecodeRow`` walks the message recursively:
+    repeated submessages become array<struct> with per-element proto3
+    defaults, uint64 widens to DECIMAL(20,0), bytes names re-project to
+    string via a Column cast. Shares the original's oracle verbatim."""
+    return _repeated_message_frame(spark, sf_dir, impl="jvm_dynamic")
 
 
 @query(
@@ -2638,44 +2674,18 @@ def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FRONT: list[str] = [
-    # r6 rotation (round-5 verdict item 5): the window is the complement of
-    # r5's 50 — the never-driver-checked round-6 queries first, then the 25
-    # whose last green row is r4 (they sat out exactly one round, per the
-    # rotation policy), then 22 r5-green queries re-checked because round-6
-    # code changes touch the operators under them (vectorized wire decode,
-    # DEPTH_ERROR in py_decode, lazy bucket guard, streaming dedup keys,
-    # kmeans|| additions to ivf.py).
-    "pb_wire_decode_jvmdyn", "audio_decode_real", "image_decode_real",
-    "image_resize_real", "minhash_oversize_buckets", "ivf_seed_scalable",
-    # last green in r4
-    "tpch_q5_local_supply", "multimodal_frames", "multimodal_resize",
-    "role_cents_quantiles", "role_tool_setops", "tpch_q3_shipping",
-    "tpch_q7_volume", "multimodal_features", "session_stats",
-    "role_sink_matrix", "conv_tool_diversity", "nested_json_decode",
-    "tpch_q1_pricing", "tpch_join_topn", "stream_hourly_counts",
-    "oneof_metainfo_off", "pb2_wire_repeated_enum",
-    "pb_schema_multifile_decode", "oneof_three_option",
-    "oneof_array_elements", "json_struct_decode", "json_variant_nested",
-    "text_stats", "lang_id", "doc_fingerprint",
-    # r5-green, re-checked: round-6 touched the code under them
-    "stream_dedup", "pb_wire_decode", "pb_wire_roundtrip", "pb_wire_encode",
-    "pb_wire_dead_letter", "pb_schema_file_decode", "pb2_wire_roundtrip",
-    "pb2_wire_lineage", "stream_wire_counts", "pb_wire_map_entries",
-    "minhash_pairs", "simhash_neardup", "ngram_jaccard_pairs",
-    "dedup_clusters", "dedup_survivors", "minhash_pairs_star",
-    "minhash_bands", "simhash", "simhash_weighted",
-    # ivf_topk, ivf_seed_farthest and dedup_exact moved to _TAIL to fit
-    # the late-round queries (pb_wire_decode_jvmdyn, audio_decode_real,
-    # image_resize_real) in the window: of the re-check set they have the
-    # weakest claim — the round-6 ivf.py change is purely additive
-    # (appends after ivf.py:448) and dedup_exact's md5 groupBy is
-    # untouched by the guard/star work
-]
-
-_TAIL: list[str] = [
-    # green in CORRECTNESS_r05.json and untouched by round-6 code changes —
-    # that fresh green row is the evidence that earns rotation past the
-    # 50-entry window this round
+    # r7 rotation (round-6 verdict item 5): the window is the complement of
+    # r6's 50 — first the never-driver-checked round-7 queries plus
+    # ivf_seed_scalable (whose r6 row was err=no_oracle: round 7 gives it
+    # its first REAL oracle check), then the 31 r6-_TAIL names whose last
+    # green row is r5 (out for exactly one round, per the rotation policy),
+    # then 16 r6-green queries re-checked because round-7 code changes
+    # touch the decode paths under them (int32 enum truncation +
+    # decimal-string unknown-code passthrough in py_decode/vector/jvm,
+    # recursive WireDecodeRow, map-entry descriptor synthesis).
+    "ivf_seed_scalable", "pb_wire_map_entries_jvmdyn",
+    "pb_wire_repeated_message_jvmdyn",
+    # last green in r5 (r6's _TAIL, returning per the rotation policy)
     "ivf_topk", "ivf_seed_farthest", "dedup_exact", "dedup_clusters_star",
     "parse_good", "dead_letter", "enum_symbolize",
     "pb2_enum_passthrough", "oneof_xor", "enrich_turns", "route_counts",
@@ -2686,6 +2696,30 @@ _TAIL: list[str] = [
     "pb_wire_struct", "pb_wire_uint64_bytes", "pb_wire_float_double",
     "pb_wire_nested_repeated", "pb_wire_repeated_message",
     "pb_wire_directory",
+    # r6-green, re-checked: round-7 touched the code under them
+    "pb_wire_decode", "pb_wire_roundtrip", "pb_wire_encode",
+    "pb_wire_decode_jvmdyn", "pb_wire_dead_letter", "pb_schema_file_decode",
+    "pb_schema_multifile_decode", "pb2_wire_roundtrip", "pb2_wire_lineage",
+    "pb2_wire_repeated_enum", "stream_wire_counts", "pb_wire_map_entries",
+    "oneof_metainfo_off", "oneof_three_option", "oneof_array_elements",
+    "json_struct_decode",
+]
+
+_TAIL: list[str] = [
+    # green in CORRECTNESS_r06.json and untouched by round-7 code changes —
+    # that fresh green row is the evidence that earns rotation past the
+    # 50-entry window this round
+    "audio_decode_real", "image_decode_real", "image_resize_real",
+    "minhash_oversize_buckets", "tpch_q5_local_supply", "multimodal_frames",
+    "multimodal_resize", "role_cents_quantiles", "role_tool_setops",
+    "tpch_q3_shipping", "tpch_q7_volume", "multimodal_features",
+    "session_stats", "role_sink_matrix", "conv_tool_diversity",
+    "nested_json_decode", "tpch_q1_pricing", "tpch_join_topn",
+    "stream_hourly_counts", "text_stats", "lang_id", "doc_fingerprint",
+    "stream_dedup", "minhash_pairs", "simhash_neardup",
+    "ngram_jaccard_pairs", "dedup_clusters", "dedup_survivors",
+    "minhash_pairs_star", "minhash_bands", "simhash", "simhash_weighted",
+    "json_variant_nested",
 ]
 
 

@@ -666,8 +666,9 @@ def test_jvm_dynamic_pb2_dialect_parity(spark):
 
 
 def test_jvm_row_schema_guards():
-    """The flat JVM row path must refuse shapes it can't decode (repeated /
-    nested message fields) loudly, routing callers to the Arrow impl."""
+    """The JVM row path builds recursive StructTypes for nested/repeated/map
+    shapes (round-7) and refuses only RECURSIVE type graphs, routing those
+    to the Arrow impl."""
     reg = default_registry()
     # turn_wire itself is accepted, fields in wire order + oneof slot
     s = W._jvm_row_schema(reg.messages["turn_wire"], 3)
@@ -678,9 +679,22 @@ def test_jvm_row_schema_guards():
     s2 = W._jvm_row_schema(reg.messages["turn_wire"], 2)
     assert s2["colour"].dataType.typeName() == "long"
     assert s["colour"].dataType.typeName() == "string"
-    # a message with nested/repeated fields is refused loudly
-    with pytest.raises(NotImplementedError):
-        W._jvm_row_schema(reg.messages["directory"], 3)
+    # repeated nested messages + maps now produce real nested schemas:
+    # directory.contacts -> array<struct<name, phone_numbers entries>>
+    sd = W._jvm_row_schema(reg.messages["directory"], 3)
+    contacts = sd["contacts"].dataType
+    assert contacts.typeName() == "array"
+    inner = contacts.elementType
+    assert inner["phone_numbers"].dataType.simpleString() == \
+        "array<struct<key:string,value:int>>"
+    # dns: uint64 -> DECIMAL(20,0), repeated message, bytes preserved
+    sq = W._jvm_row_schema(reg.messages["dns_message"], 3)
+    assert sq["id"].dataType.simpleString() == "decimal(20,0)"
+    assert sq["question"].dataType.elementType["qtype"].dataType \
+        .typeName() == "long"
+    # only a recursive graph is refused (no finite StructType exists)
+    with pytest.raises(NotImplementedError, match="recursive"):
+        W._jvm_row_schema(reg.messages["unicorn"], 3)
 
 
 def test_jvm_json_foil_parity(spark):
@@ -752,3 +766,112 @@ def test_enum_unknown_code_parity_all_impls(spark):
                    .orderBy("id").collect())
             assert [r["c"] for r in out] == want, (pv, impl)
             assert all(r["e"] is None for r in out), (pv, impl)
+
+# ---------------------------------------------------------------------------
+# round-7: jvm_dynamic past flat messages — recursive WireDecodeRow walks
+# repeated submessages and proto3 maps (round-6 verdict item 3); recursive
+# TYPES (unicorn, human) are refused with a routing hint instead
+# ---------------------------------------------------------------------------
+
+def _dns_frame(spark, n=50):
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.col("id").cast("decimal(20,0)").alias("id_dec"),
+        F.array(F.concat(F.lit("h"), F.col("id").cast("string"),
+                         F.lit(".example")),
+                F.concat(F.lit("alt"), F.col("id").cast("string"))
+                ).alias("q_names"),
+        F.array((F.col("id") % 16).cast("int"), F.lit(28)).alias("q_types"),
+        F.array(F.lit(1), (F.col("id") % 3).cast("int")).alias("q_classes"),
+    )
+
+
+def test_jvm_dynamic_repeated_message_parity(spark):
+    """dns_message.question (the reference's repeated-nested-struct decode,
+    spec/codecs/pb3_decode_spec.rb:311-335) must decode identically through
+    the Arrow walker and the recursive JVM Row path — including per-element
+    proto3 defaults (qtype/qclass omitted at 0) and uint64 id as
+    DECIMAL(20,0)."""
+    if not W.jvm_dynamic_available(spark):
+        pytest.skip("shaded protobuf runtime unavailable")
+    df = _dns_frame(spark)
+    a = W.dns_questions_roundtrip(df).select("event_id", "decoded")
+    j = W.dns_questions_roundtrip(df, impl="jvm_dynamic").select(
+        "event_id", "decoded")
+    # nullability flags differ (pandas_udf marks all nullable) — types must match
+    assert a.schema.simpleString() == j.schema.simpleString()
+    assert sorted(map(repr, a.collect())) == sorted(map(repr, j.collect()))
+
+
+def test_jvm_dynamic_map_entries_parity(spark):
+    """proto3 map<string,int32> through the JVM path: entries collapse
+    last-wins in first-seen key order (a Python dict built in wire order),
+    then sort by label — identical to the Arrow twin's sorted(dict.items()).
+    The descriptor set synthesizes the protoc map_entry lowering, so
+    protobuf-java treats the field as a REAL map field."""
+    if not W.jvm_dynamic_available(spark):
+        pytest.skip("shaded protobuf runtime unavailable")
+    df = spark.range(50).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("c_name"),
+        F.array(F.lit("home"), F.lit("work")).alias("c_labels"),
+        F.array((F.col("id") % 1000).cast("int"),
+                (F.col("id") % 97).cast("int")).alias("c_numbers"),
+    )
+    a = W.contact_roundtrip(df).select("event_id", "decoded")
+    j = W.contact_roundtrip(df, impl="jvm_dynamic").select(
+        "event_id", "decoded")
+    assert a.schema.simpleString() == j.schema.simpleString()
+    assert sorted(map(repr, a.collect())) == sorted(map(repr, j.collect()))
+
+
+def test_jvm_dynamic_map_duplicate_key_last_wins(spark):
+    """Duplicate map keys on the wire: protobuf semantics say the LAST value
+    wins. py_decode fills a dict in wire order; the JVM path must collapse
+    identically (LinkedHashMap.put keeps first-seen position, updates
+    value)."""
+    if not W.jvm_dynamic_available(spark):
+        pytest.skip("shaded protobuf runtime unavailable")
+    from logstash_codec_protobuf_spark.functions.wire import (
+        py_field_len, py_field_string, py_field_varint)
+
+    entry1 = py_field_string(1, "home") + py_field_varint(2, 5)
+    entry2 = py_field_string(1, "work") + py_field_varint(2, 7)
+    entry3 = py_field_string(1, "home") + py_field_varint(2, 9)  # dup key
+    buf = py_field_string(1, "cdup") + b"".join(
+        py_field_len(2, e) for e in (entry1, entry2, entry3))
+    df = spark.createDataFrame([(1, bytearray(buf))], "id int, payload binary")
+    out = W.decode_message_wire_jvm_dynamic(df, "contact").select(
+        "decoded").first()["decoded"]
+    assert out["name"] == "cdup"
+    assert [(e["key"], e["value"]) for e in out["phone_numbers"]] == [
+        ("home", 9), ("work", 7)]
+    assert out["error"] is None
+    # and py_decode agrees
+    d = W.py_decode(buf, W.default_registry(), "contact")
+    assert list(d["phone_numbers"].items()) == [("home", 9), ("work", 7)]
+
+
+def test_jvm_dynamic_nested_dead_letter(spark):
+    """A malformed payload through the generic nested path dead-letters with
+    WIRE_ERROR and all-null fields, original bytes preserved."""
+    if not W.jvm_dynamic_available(spark):
+        pytest.skip("shaded protobuf runtime unavailable")
+    df = spark.createDataFrame([(1, bytearray(b"\xff"))],
+                               "id int, payload binary")
+    row = W.decode_message_wire_jvm_dynamic(df, "dns_message").first()
+    assert row["decoded"]["error"] == W.WIRE_ERROR
+    assert row["decoded"]["id"] is None
+    assert row["decoded"]["question"] is None
+    assert bytes(row["payload"]) == b"\xff"
+
+
+def test_jvm_dynamic_recursive_type_refused():
+    """A recursive message graph has no finite StructType: the schema
+    builder must refuse unicorn (mother/father: message:unicorn) with the
+    arrow-routing hint rather than recursing forever."""
+    reg = default_registry()
+    with pytest.raises(NotImplementedError, match="recursive"):
+        W._jvm_row_schema(reg.messages["unicorn"], 3, reg)
+    with pytest.raises(NotImplementedError, match="recursive"):
+        W._jvm_row_schema(reg.messages["human"], 2, reg)

@@ -5,58 +5,58 @@ The driver's CORRECTNESS report covers exactly the first 50 names returned by
 explicit in ``queries._FRONT`` / ``queries._TAIL`` (round-3 verdict item 1;
 rotated each round so every query lands in some round's window).
 
-Round-6 rotation (round-5 verdict item 5): the window is the COMPLEMENT of
-r5's 50 — the six new round-6 queries (never driver-checked), the 25
-queries whose last green row is r4 (out for exactly one round), plus 22
-r5-green queries whose operators round-6 code changes touch (vectorized wire
-decode, DEPTH_ERROR, lazy bucket guard, streaming dedup keys, ivf.py
-additions).
+Round-7 rotation (round-6 verdict item 5): the window is the COMPLEMENT of
+r6's 50 — the round-7 queries (never driver-checked) plus ivf_seed_scalable
+(r6 row was err=no_oracle; its new exact oracle gets its first driver check),
+the 31 queries whose last green row is r5 (out for exactly one round), and
+16 r6-green queries whose decode paths round-7 code changes touch (enum
+int32 truncation + decimal-string passthrough, recursive WireDecodeRow,
+map-entry descriptor synthesis).
 """
 
 from logstash_codec_protobuf_spark import queries as Q
 
-# Never driver-checked: defined in round 6 (pb_wire_decode_jvmdyn and
-# audio_decode_real / image_resize_real landed late-round; ivf_topk,
-# ivf_seed_farthest and dedup_exact rotated to _TAIL to make room — the
-# round-6 ivf.py change is purely additive and dedup_exact's md5 groupBy
-# is untouched by the guard/star work, the weakest re-check claims).
-R6_NEW = ["pb_wire_decode_jvmdyn", "audio_decode_real", "image_decode_real",
-          "image_resize_real", "minhash_oversize_buckets",
-          "ivf_seed_scalable"]
+# Never driver-checked (new in round 7) or never ORACLE-checked
+# (ivf_seed_scalable's only r6 row was err=no_oracle — round 7 is its first
+# real rows+schema+hash check).
+R7_NEW = ["ivf_seed_scalable", "pb_wire_map_entries_jvmdyn",
+          "pb_wire_repeated_message_jvmdyn"]
 
-# Last green row is CORRECTNESS_r04.json — these sat out r5's window under
-# the rotation policy and must return in r6.
-R4_ONLY = [
-    "tpch_q5_local_supply", "multimodal_frames", "multimodal_resize",
-    "role_cents_quantiles", "role_tool_setops", "tpch_q3_shipping",
-    "tpch_q7_volume", "multimodal_features", "session_stats",
-    "role_sink_matrix", "conv_tool_diversity", "nested_json_decode",
-    "tpch_q1_pricing", "tpch_join_topn", "stream_hourly_counts",
-    "oneof_metainfo_off", "pb2_wire_repeated_enum",
-    "pb_schema_multifile_decode", "oneof_three_option",
-    "oneof_array_elements", "json_struct_decode", "json_variant_nested",
-    "text_stats", "lang_id", "doc_fingerprint",
+# Last green row is CORRECTNESS_r05.json — these sat out r6's window under
+# the rotation policy (they were r6's _TAIL) and must return in r7.
+R5_ONLY = [
+    "ivf_topk", "ivf_seed_farthest", "dedup_exact", "dedup_clusters_star",
+    "parse_good", "dead_letter", "enum_symbolize",
+    "pb2_enum_passthrough", "oneof_xor", "enrich_turns", "route_counts",
+    "conv_stats", "hourly_stats", "turn_order", "conv_first_last",
+    "encode_roundtrip", "encode_autoconvert", "stream_sessionize",
+    "encode_strict_discard", "ivf_assign", "ivf_refine_assign",
+    "ann_cosine_topk", "ann_lsh_topk", "embedding_neardup", "pb_wire_rum",
+    "pb_wire_struct", "pb_wire_uint64_bytes", "pb_wire_float_double",
+    "pb_wire_nested_repeated", "pb_wire_repeated_message",
+    "pb_wire_directory",
 ]
 
-# Frozen from CORRECTNESS_r05.json at round-6 start: every query with a green
-# r5 driver row. _TAIL must draw only from this set — a fresh green row is
+# Frozen from CORRECTNESS_r06.json at round-7 start: every query with a green
+# r6 driver row. _TAIL must draw only from this set — a fresh green row is
 # what earns rotation past the window.
-R5_GREEN = {
-    "dedup_clusters_star", "pb_wire_roundtrip", "pb_wire_decode",
-    "pb_wire_encode", "pb_wire_map_entries", "parse_good", "dead_letter",
-    "enum_symbolize", "pb2_enum_passthrough", "oneof_xor", "enrich_turns",
-    "route_counts", "conv_stats", "hourly_stats", "turn_order",
-    "conv_first_last", "encode_roundtrip", "encode_autoconvert",
-    "pb_schema_file_decode", "pb2_wire_roundtrip", "pb_wire_dead_letter",
-    "stream_sessionize", "stream_dedup", "encode_strict_discard",
-    "minhash_pairs_star", "minhash_bands", "minhash_pairs", "simhash",
-    "simhash_neardup", "ngram_jaccard_pairs", "dedup_exact",
-    "dedup_clusters", "dedup_survivors", "simhash_weighted",
-    "ivf_seed_farthest", "ivf_topk", "ivf_assign", "ivf_refine_assign",
-    "ann_cosine_topk", "ann_lsh_topk", "embedding_neardup", "pb_wire_rum",
-    "stream_wire_counts", "pb_wire_struct", "pb_wire_uint64_bytes",
-    "pb_wire_float_double", "pb_wire_nested_repeated",
-    "pb_wire_repeated_message", "pb2_wire_lineage", "pb_wire_directory",
+R6_GREEN = {
+    "pb_wire_decode_jvmdyn", "audio_decode_real", "image_decode_real",
+    "image_resize_real", "minhash_oversize_buckets", "tpch_q5_local_supply",
+    "multimodal_frames", "multimodal_resize", "role_cents_quantiles",
+    "role_tool_setops", "tpch_q3_shipping", "tpch_q7_volume",
+    "multimodal_features", "session_stats", "role_sink_matrix",
+    "conv_tool_diversity", "nested_json_decode", "tpch_q1_pricing",
+    "tpch_join_topn", "stream_hourly_counts", "oneof_metainfo_off",
+    "pb2_wire_repeated_enum", "pb_schema_multifile_decode",
+    "oneof_three_option", "oneof_array_elements", "json_struct_decode",
+    "json_variant_nested", "text_stats", "lang_id", "doc_fingerprint",
+    "stream_dedup", "pb_wire_decode", "pb_wire_roundtrip", "pb_wire_encode",
+    "pb_wire_dead_letter", "pb_schema_file_decode", "pb2_wire_roundtrip",
+    "pb2_wire_lineage", "stream_wire_counts", "pb_wire_map_entries",
+    "minhash_pairs", "simhash_neardup", "ngram_jaccard_pairs",
+    "dedup_clusters", "dedup_survivors", "minhash_pairs_star",
+    "minhash_bands", "simhash", "simhash_weighted",
 }
 
 
@@ -77,14 +77,14 @@ def test_window_is_exactly_front():
 
 
 def test_new_queries_lead_the_window():
-    assert Q._FRONT[: len(R6_NEW)] == R6_NEW
+    assert Q._FRONT[: len(R7_NEW)] == R7_NEW
 
 
-def test_r4_only_queries_inside_driver_window():
+def test_r5_only_queries_inside_driver_window():
     """The rotation promise: queries whose last green row is two rounds old
     must come back into the window."""
     window = list(Q.all_queries())[:50]
-    missing = [n for n in R4_ONLY if n not in window]
+    missing = [n for n in R5_ONLY if n not in window]
     assert not missing, f"outside the driver's 50-entry window: {missing}"
 
 
@@ -101,8 +101,8 @@ def test_every_query_has_an_oracle_and_order_matches():
     assert not no_oracle, no_oracle
 
 
-def test_tail_rotation_is_only_r5_green():
-    assert set(Q._TAIL) <= R5_GREEN, sorted(set(Q._TAIL) - R5_GREEN)
+def test_tail_rotation_is_only_r6_green():
+    assert set(Q._TAIL) <= R6_GREEN, sorted(set(Q._TAIL) - R6_GREEN)
 
 
 def test_every_query_is_front_or_tail():
