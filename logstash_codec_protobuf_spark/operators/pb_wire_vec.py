@@ -66,12 +66,24 @@ class _VecField:
 
 @dataclass
 class FlatPlan:
-    """Precompiled decode plan for one flat message (cached per registry)."""
+    """Precompiled decode plan for one flat message (cached per registry).
+
+    Round 7: one NESTING level — a singular (non-oneof) ``message:X`` field
+    whose own plan is flat rides as ``messages`` + ``subplans``; its bytes
+    are sub-sliced out of the SAME concatenated batch buffer and decoded by
+    a recursive ``flat_decode_frame`` pass (absolute offsets, zero
+    re-concatenation), then emitted as FLATTENED ``<field>.<subfield>``
+    columns plus a ``<field>._present`` bool (py_decode: absent singular
+    message -> None, present-but-empty -> sub defaults). float/double
+    (fixed32/64 wire types) decode natively via byte gathers."""
 
     message: str
     proto_version: int
     varints: tuple[_VecField, ...]   # int/uint/sint/bool/enum fields
     strings: tuple[_VecField, ...]
+    fixeds: tuple[_VecField, ...]    # float (fixed32) / double (fixed64)
+    messages: tuple[_VecField, ...]  # singular nested messages, flat subplan
+    subplans: dict[str, "FlatPlan"]  # message field name -> sub plan
     oneof_groups: dict[str, tuple[str, ...]]  # group -> member names
     field_names: tuple[str, ...]     # spec order
     enum_tables: dict[str, tuple]  # field -> (maxcode, names, has_name)
@@ -81,8 +93,8 @@ class FlatPlan:
 def build_flat_plan(registry, message: str, proto_version: int = 3
                     ) -> FlatPlan | None:
     """Compile a vector plan, or None when the message shape needs the
-    general recursive decoder (repeated / map / nested message / struct /
-    bytes / float / double fields)."""
+    general recursive decoder (repeated / map / deeper-than-one or
+    recursive message nesting / struct / bytes fields)."""
     cache = getattr(registry, "_vec_plans", None)
     if cache is None:
         cache = {}
@@ -90,22 +102,42 @@ def build_flat_plan(registry, message: str, proto_version: int = 3
     key = (message, proto_version)
     if key in cache:
         return cache[key]
+    # provisional None: a recursive type (unicorn.mother -> unicorn) hits
+    # this sentinel on the inner build and refuses, instead of recursing
+    cache[key] = None
 
     spec = registry.messages.get(message)
     plan = None
     if spec is not None:
         varints: list[_VecField] = []
         strings: list[_VecField] = []
+        fixeds: list[_VecField] = []
+        messages: list[_VecField] = []
+        subplans: dict[str, FlatPlan] = {}
         enum_tables: dict[str, tuple] = {}
         ok = True
         for fnum, f in spec.wire_fields():
-            if f.repeated or f.type.startswith(("map<", "message:")) \
-                    or f.type in ("bytes", "struct", "float", "double"):
+            if f.repeated or f.type.startswith("map<") \
+                    or f.type in ("bytes", "struct"):
                 ok = False
                 break
             vf = _VecField(f.name, fnum, f.type, f.oneof)
             if f.type == "string":
                 strings.append(vf)
+            elif f.type in ("float", "double"):
+                if f.oneof:  # keep oneof machinery varint/string-only
+                    ok = False
+                    break
+                fixeds.append(vf)
+            elif f.type.startswith("message:"):
+                sub = (None if f.oneof else
+                       build_flat_plan(registry, f.type[8:], proto_version))
+                # one level only: a sub plan that itself nests refuses
+                if sub is None or sub.messages:
+                    ok = False
+                    break
+                messages.append(vf)
+                subplans[f.name] = sub
             elif f.type.startswith("enum:"):
                 enum = registry.enums[f.type[5:]]
                 codes = [c for c in enum.values if c >= 0]
@@ -132,6 +164,7 @@ def build_flat_plan(registry, message: str, proto_version: int = 3
                     groups.setdefault(f.oneof, []).append(f.name)
             plan = FlatPlan(
                 message, proto_version, tuple(varints), tuple(strings),
+                tuple(fixeds), tuple(messages), subplans,
                 {g: tuple(m) for g, m in groups.items()},
                 tuple(f.name for f in spec.fields), enum_tables, registry,
             )
@@ -176,29 +209,43 @@ def _read_varint_vec(arr: np.ndarray, pos: np.ndarray, end: np.ndarray,
     return val
 
 
-def flat_decode_frame(payload, plan: FlatPlan) -> dict[str, object]:
+def flat_decode_frame(payload, plan: FlatPlan, _pre=None) -> dict[str, object]:
     """Decode an Arrow batch of payloads per ``plan``.
 
     Returns a column dict: one entry per message field (pandas Int64 /
-    object), one ``_pb_oneof_<group>`` object column per oneof group
-    (chosen-member name or None), plus ``error``. Error rows are all-NULL
-    with WIRE_ERROR; fallback rows are patched via ``py_decode``."""
+    Float64 / object), one ``_pb_oneof_<group>`` object column per oneof
+    group (chosen-member name or None), FLATTENED ``<field>.<subfield>``
+    columns plus ``<field>._present`` per nested-message field, plus
+    ``error``. Error rows are all-NULL with WIRE_ERROR; fallback rows are
+    patched via ``py_decode``.
+
+    ``_pre``: internal recursion seam for the one-level nested pass —
+    ``(arr, pos, end, isnull, rowbytes)`` where offsets index the PARENT
+    batch buffer directly (sub-slices are never re-concatenated) and
+    ``rowbytes(i)`` yields row i's bytes for the scalar fallback."""
     from .pb_wire import py_decode
 
-    raw = list(payload)
-    n = len(raw)
-    lens = np.fromiter(
-        (-1 if p is None else len(p) for p in raw), np.int64, n)
-    isnull = lens < 0
-    np.maximum(lens, 0, out=lens)
-    try:
-        big = b"".join(raw)  # bytes/bytearray join, no per-item call
-    except TypeError:        # None payloads present
-        big = b"".join(p if p is not None else b"" for p in raw)
-    # offsets over the concatenated buffer (null payloads occupy 0 bytes)
-    end = np.cumsum(lens)
-    pos = end - lens
-    arr = np.frombuffer(big, np.uint8) if big else np.zeros(0, np.uint8)
+    if _pre is None:
+        raw = list(payload)
+        n = len(raw)
+        lens = np.fromiter(
+            (-1 if p is None else len(p) for p in raw), np.int64, n)
+        isnull = lens < 0
+        np.maximum(lens, 0, out=lens)
+        try:
+            big = b"".join(raw)  # bytes/bytearray join, no per-item call
+        except TypeError:        # None payloads present
+            big = b"".join(p if p is not None else b"" for p in raw)
+        # offsets over the concatenated buffer (null payloads occupy 0 bytes)
+        end = np.cumsum(lens)
+        pos = end - lens
+        arr = np.frombuffer(big, np.uint8) if big else np.zeros(0, np.uint8)
+
+        def rowbytes(i: int) -> bytes:
+            return bytes(raw[i])
+    else:
+        arr, pos, end, isnull, rowbytes = _pre
+        n = pos.shape[0]
 
     err = isnull.copy()
     fallback = np.zeros(n, bool)
@@ -208,11 +255,18 @@ def flat_decode_frame(payload, plan: FlatPlan) -> dict[str, object]:
     sstart = {f.name: np.zeros(n, np.int64) for f in plan.strings}
     send = {f.name: np.zeros(n, np.int64) for f in plan.strings}
     sseen = {f.name: np.zeros(n, bool) for f in plan.strings}
+    fvals = {f.name: np.zeros(n, np.float64) for f in plan.fixeds}
+    fseen = {f.name: np.zeros(n, bool) for f in plan.fixeds}
+    mstart = {f.name: np.zeros(n, np.int64) for f in plan.messages}
+    mend = {f.name: np.zeros(n, np.int64) for f in plan.messages}
+    mseen = {f.name: np.zeros(n, bool) for f in plan.messages}
     seen_of = {**vseen, **sseen}
     chosen = {g: np.zeros(n, np.int16) for g in plan.oneof_groups}
 
     varint_by_num = {f.fnum: f for f in plan.varints}
     string_by_num = {f.fnum: f for f in plan.strings}
+    fixed_by_num = {f.fnum: f for f in plan.fixeds}
+    msg_by_num = {f.fnum: f for f in plan.messages}
 
     def _won_oneof(f: _VecField, mk: np.ndarray) -> None:
         members = plan.oneof_groups[f.oneof]
@@ -251,18 +305,38 @@ def flat_decode_frame(payload, plan: FlatPlan) -> dict[str, object]:
                     vseen[f.name][mk] = True
                     if f.oneof:
                         _won_oneof(f, mk)
-            for k in string_by_num:  # varint on a declared string field
+            # varint wire type on a declared len/fixed-kind field: py_decode
+            # raises (_scalar_kind != "varint")
+            for k in string_by_num:
+                err |= m0 & (fnum == k)
+            for k in fixed_by_num:
+                err |= m0 & (fnum == k)
+            for k in msg_by_num:
                 err |= m0 & (fnum == k)
 
-        # wire types 1/5: fixed64/fixed32 — no float/double in a flat plan,
-        # so both known (skip, py_decode `continue`) and unknown fields just
-        # consume the bytes; short buffers are WIRE_ERROR
+        # wire types 1/5: fixed64/fixed32 — declared double/float fields
+        # decode via a byte gather; a WRONG-width fixed on a float field
+        # (and any other declared or unknown field) just consumes the bytes
+        # (py_decode `continue`); short buffers are WIRE_ERROR
         for w, width in ((1, 8), (5, 4)):
             mw = active & (wt == w)
             if mw.any():
                 short = mw & (pos + width > end)
                 err |= short
                 mw &= ~short
+                for k, f in fixed_by_num.items():
+                    if (8 if f.ftype == "double" else 4) != width:
+                        continue
+                    mk = mw & (fnum == k)
+                    if mk.any():
+                        ridx = np.nonzero(mk)[0]
+                        gathered = arr[pos[ridx][:, None]
+                                       + np.arange(width, dtype=np.int64)]
+                        vals = np.frombuffer(
+                            gathered.tobytes(),
+                            dtype="<f8" if width == 8 else "<f4")
+                        fvals[f.name][mk] = vals.astype(np.float64)
+                        fseen[f.name][mk] = True
                 pos[mw] += width
 
         # wire type 2: length-delimited
@@ -291,7 +365,27 @@ def flat_decode_frame(payload, plan: FlatPlan) -> dict[str, object]:
                     sseen[f.name][mk] = True
                     if f.oneof:
                         _won_oneof(f, mk)
-            for k in varint_by_num:  # length-delimited on a scalar field
+            for k, f in msg_by_num.items():
+                mk = m2 & (fnum == k)
+                if mk.any():
+                    # singular nested message: LAST occurrence wins
+                    # (py_decode overwrites out[f.name]) — but py_decode
+                    # DECODES every occurrence in wire order, so an invalid
+                    # earlier one errors the whole row; the vector pass only
+                    # decodes the winner. Duplicates (legal but rare) route
+                    # through the scalar fallback, same as dup strings.
+                    dup = mk & mseen[f.name]
+                    if dup.any():
+                        fallback |= dup
+                        mk &= ~dup
+                    mstart[f.name][mk] = pos[mk]
+                    mend[f.name][mk] = pos[mk] + lni[mk]
+                    mseen[f.name][mk] = True
+            # length-delimited on a scalar (varint/fixed-kind) field:
+            # py_decode raises WIRE_ERROR
+            for k in varint_by_num:
+                err |= m2 & (fnum == k)
+            for k in fixed_by_num:
                 err |= m2 & (fnum == k)
             m2 &= ~err
             pos[m2] += lni[m2]
@@ -343,10 +437,43 @@ def flat_decode_frame(payload, plan: FlatPlan) -> dict[str, object]:
             out[:] = ""
             for i in np.nonzero(live)[0]:
                 try:
-                    out[i] = big[s[i]:e[i]].decode("utf-8")
+                    out[i] = bytes(arr[s[i]:e[i]]).decode("utf-8")
                 except UnicodeDecodeError:
                     err[i] = True
             str_obj[f.name] = out
+
+    # ---- one-level nested messages (round 7) ------------------------------
+    # sub-slices index the SAME batch buffer (absolute offsets, no
+    # re-concatenation): one recursive flat pass per nested field decodes
+    # every live submessage simultaneously. Results come back as flattened
+    # "<field>.<subfield>" columns; a sub WIRE_ERROR kills the parent row
+    # (py_decode raises through), sub >uint64 fallbacks are patched INSIDE
+    # the sub pass from the sub bytes alone.
+    sub_scatter: dict[str, dict[str, np.ndarray]] = {}
+    for f in plan.messages:
+        live = mseen[f.name] & ~err & ~fallback
+        idxs = np.nonzero(live)[0]
+        s_all, e_all = mstart[f.name], mend[f.name]
+
+        def _sub_rowbytes(i: int, _s=s_all, _e=e_all, _ix=idxs) -> bytes:
+            return bytes(arr[_s[_ix[i]]:_e[_ix[i]]])
+
+        sc = flat_decode_frame(
+            None, plan.subplans[f.name],
+            _pre=(arr, s_all[idxs], e_all[idxs],
+                  np.zeros(idxs.size, bool), _sub_rowbytes))
+        serr = pd.Series(sc.pop("error")).notna().to_numpy()
+        if serr.any():
+            err[idxs[serr]] = True
+        scat: dict[str, np.ndarray] = {}
+        for sub_name, c in sc.items():
+            co = (c if isinstance(c, np.ndarray)
+                  else c.to_numpy(dtype=object, na_value=None))
+            full = np.empty(n, object)
+            full[:] = None
+            full[idxs] = co
+            scat[sub_name] = full
+        sub_scatter[f.name] = scat
 
     cols: dict[str, object] = {}
     dead = err | fallback  # NA until (maybe) patched
@@ -424,6 +551,24 @@ def flat_decode_frame(payload, plan: FlatPlan) -> dict[str, object]:
             out[null_mask] = None
             cols[f.name] = out
 
+    for f in plan.fixeds:
+        # proto3 default 0.0 for absent (zeros init); the float32->float64
+        # widening is exact, matching py_decode's struct.unpack('<f') float
+        na = err | fallback
+        cols[f.name] = pd.arrays.FloatingArray(
+            fvals[f.name].copy(), mask=na.copy())
+
+    for f in plan.messages:
+        nulls = err | fallback
+        pres = np.empty(n, object)
+        pres[:] = False
+        pres[mseen[f.name]] = True
+        pres[nulls] = None  # py: absent singular message -> None (presence)
+        cols[f"{f.name}._present"] = pres
+        for sub_name, full in sub_scatter[f.name].items():
+            full[nulls] = None
+            cols[f"{f.name}.{sub_name}"] = full
+
     for g, members in plan.oneof_groups.items():
         ch = chosen[g]
         out = np.empty(n, object)
@@ -455,11 +600,21 @@ def flat_decode_frame(payload, plan: FlatPlan) -> dict[str, object]:
                 if isinstance(c, pd.arrays.ArrowExtensionArray) else c)
             for k, c in cols.items()
         }
+        msg_names = {f.name for f in plan.messages}
+        # a sub-level int64-representability breach dead-letters the parent
+        # row exactly like a top-level one (the flattened columns are
+        # Int64-typed at the consumer boundary)
+        sub_int64_dest = {
+            mf.name: {f.name for f in plan.subplans[mf.name].varints
+                      if f.ftype in
+                      _UNSIGNED_TYPES | _SIGNED_TYPES | _SINT_TYPES}
+            for mf in plan.messages
+        }
         frame = pd.DataFrame(cols)
         eloc = frame.columns.get_loc("error")
         for i in fb_rows:
             try:
-                d = py_decode(bytes(raw[i]), plan.registry, plan.message,
+                d = py_decode(rowbytes(i), plan.registry, plan.message,
                               plan.proto_version)
                 if any(d[k] is not None and not _fits_int64(d[k])
                        for k in int64_dest):
@@ -467,17 +622,39 @@ def flat_decode_frame(payload, plan: FlatPlan) -> dict[str, object]:
                     # a Python int but not in the declared Int64 column —
                     # dead-letter the row, never crash the batch
                     raise ValueError(_WIRE_ERROR)
+                for mf, dest in sub_int64_dest.items():
+                    sub = d[mf]
+                    if sub is not None and any(
+                            sub[k] is not None and not _fits_int64(sub[k])
+                            for k in dest):
+                        raise ValueError(_WIRE_ERROR)
             except ValueError:
                 for c in frame.columns:
                     if c != "error":
                         frame.iloc[i, frame.columns.get_loc(c)] = (
-                            pd.NA if frame[c].dtype == "Int64" else None)
+                            pd.NA if frame[c].dtype in ("Int64", "Float64")
+                            else None)
                 frame.iloc[i, eloc] = _WIRE_ERROR
                 continue
             for name in plan.field_names:
+                if name in msg_names:
+                    continue  # flattened below
                 val = d[name]
                 frame.iloc[i, frame.columns.get_loc(name)] = (
                     pd.NA if val is None else val)
+            for mf in plan.messages:
+                sub = d[mf.name]
+                subplan = plan.subplans[mf.name]
+                frame.iloc[i, frame.columns.get_loc(
+                    f"{mf.name}._present")] = sub is not None
+                for sn in subplan.field_names:
+                    frame.iloc[i, frame.columns.get_loc(
+                        f"{mf.name}.{sn}")] = (
+                        None if sub is None or sub[sn] is None else sub[sn])
+                for g in subplan.oneof_groups:
+                    frame.iloc[i, frame.columns.get_loc(
+                        f"{mf.name}._pb_oneof_{g}")] = (
+                        None if sub is None else sub["_pb_oneof"].get(g))
             for g in plan.oneof_groups:
                 frame.iloc[i, frame.columns.get_loc(f"_pb_oneof_{g}")] = (
                     d["_pb_oneof"].get(g))

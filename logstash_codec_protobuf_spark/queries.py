@@ -1392,9 +1392,7 @@ def pb_wire_rum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.drop("n_bytes", "error")  # n_bytes is pytest evidence
 
 
-@query(
-    "pb_wire_float_double",
-    """
+_FLOAT_DOUBLE_ORACLE = """
 SELECT event_id,
        'uuid-' || CAST(event_id AS STRING) AS uuid,
        CASE WHEN event_id % 2 = 0 THEN 'OK' ELSE 'ERROR' END AS status,
@@ -1410,17 +1408,11 @@ SELECT event_id,
        CAST(CAST(event_id * CAST(0.1 AS DOUBLE) AS REAL) AS DOUBLE) AS minor_d,
        'os' || CAST(event_id % 3 AS STRING) AS os
 FROM events
-""",
-)
-def pb_wire_float_double(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """float (fixed32, wire type 5) and double (fixed64, wire type 1) through
-    REAL wire bytes: ProbeResult.latency double nested one message deep
-    (spec/helpers/pb3/ProbeResult_pb.rb:13) + RUM user-agent major/minor
-    floats (spec/helpers/pb3/rum_pb.rb:41-44). IEEE round trips are bit-exact
-    — 0-valued fields are omitted on the wire and re-emerge as proto3
-    defaults; the float32 rounding of event_id*0.1 is identical in Spark and
-    DuckDB (both IEEE round-to-nearest), so the oracle compares exactly with
-    no truncation."""
+"""
+
+
+def _float_double_frame(spark: SparkSession, sf_dir: str,
+                        impl: str = "scalar") -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         F.concat(F.lit("uuid-"), F.col("event_id").cast("string"))
@@ -1440,7 +1432,7 @@ def pb_wire_float_double(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("os"), (F.col("event_id") % 3).cast("string"))
         .alias("ua_os"),
     )
-    out = PW.probe_ua_roundtrip(ev)
+    out = PW.probe_ua_roundtrip(ev, impl=impl)
     d = F.col("decoded")
     return out.select(
         "event_id",
@@ -1451,6 +1443,32 @@ def pb_wire_float_double(spark: SparkSession, sf_dir: str) -> DataFrame:
         d["minor"].cast("double").alias("minor_d"),
         d["os"].alias("os"),
     )
+
+
+@query("pb_wire_float_double", _FLOAT_DOUBLE_ORACLE)
+def pb_wire_float_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """float (fixed32, wire type 5) and double (fixed64, wire type 1) through
+    REAL wire bytes: ProbeResult.latency double nested one message deep
+    (spec/helpers/pb3/ProbeResult_pb.rb:13) + RUM user-agent major/minor
+    floats (spec/helpers/pb3/rum_pb.rb:41-44). IEEE round trips are bit-exact
+    — 0-valued fields are omitted on the wire and re-emerge as proto3
+    defaults; the float32 rounding of event_id*0.1 is identical in Spark and
+    DuckDB (both IEEE round-to-nearest), so the oracle compares exactly with
+    no truncation."""
+    return _float_double_frame(spark, sf_dir)
+
+
+@query("pb_wire_float_double_vec", _FLOAT_DOUBLE_ORACLE)
+def pb_wire_float_double_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME probe+user_agent decode forced through the numpy
+    record-transposed walker — its round-7 one-nesting-level extension:
+    probe_result.task (singular nested message) decodes in a recursive
+    vector pass over sub-slices of the same batch buffer, and the fixed32
+    floats / fixed64 doubles decode via byte gathers instead of the scalar
+    struct.unpack loop. Shares pb_wire_float_double's oracle verbatim; a
+    green row is driver evidence for the nested vector path (parity is also
+    hypothesis-fuzzed in tests/test_wire_property.py)."""
+    return _float_double_frame(spark, sf_dir, impl="vector")
 
 
 _REPEATED_MESSAGE_ORACLE = """
@@ -2684,7 +2702,7 @@ _FRONT: list[str] = [
     # decimal-string unknown-code passthrough in py_decode/vector/jvm,
     # recursive WireDecodeRow, map-entry descriptor synthesis).
     "ivf_seed_scalable", "pb_wire_map_entries_jvmdyn",
-    "pb_wire_repeated_message_jvmdyn",
+    "pb_wire_repeated_message_jvmdyn", "pb_wire_float_double_vec",
     # last green in r5 (r6's _TAIL, returning per the rotation policy)
     "ivf_topk", "ivf_seed_farthest", "dedup_exact", "dedup_clusters_star",
     "parse_good", "dead_letter", "enum_symbolize",
@@ -2702,7 +2720,9 @@ _FRONT: list[str] = [
     "pb_schema_multifile_decode", "pb2_wire_roundtrip", "pb2_wire_lineage",
     "pb2_wire_repeated_enum", "stream_wire_counts", "pb_wire_map_entries",
     "oneof_metainfo_off", "oneof_three_option", "oneof_array_elements",
-    "json_struct_decode",
+    # (json_struct_decode was the 16th re-check candidate; it rotated to
+    # _TAIL — untouched by r7 and r6-green — to make room for the new
+    # pb_wire_float_double_vec registration inside the 50-entry window)
 ]
 
 _TAIL: list[str] = [
@@ -2719,7 +2739,7 @@ _TAIL: list[str] = [
     "stream_dedup", "minhash_pairs", "simhash_neardup",
     "ngram_jaccard_pairs", "dedup_clusters", "dedup_survivors",
     "minhash_pairs_star", "minhash_bands", "simhash", "simhash_weighted",
-    "json_variant_nested",
+    "json_variant_nested", "json_struct_decode",
 ]
 
 

@@ -20,7 +20,7 @@ from logstash_codec_protobuf_spark import queries as Q
 # (ivf_seed_scalable's only r6 row was err=no_oracle — round 7 is its first
 # real rows+schema+hash check).
 R7_NEW = ["ivf_seed_scalable", "pb_wire_map_entries_jvmdyn",
-          "pb_wire_repeated_message_jvmdyn"]
+          "pb_wire_repeated_message_jvmdyn", "pb_wire_float_double_vec"]
 
 # Last green row is CORRECTNESS_r05.json — these sat out r6's window under
 # the rotation policy (they were r6's _TAIL) and must return in r7.

@@ -790,3 +790,127 @@ def test_oneof_string_loser_fuzz_matches_py_decode(buf):
         gp = f.iloc[0]["_pb_oneof_pick"]
         gp = None if gp is _pd.NA else gp
         assert gp == want["_pb_oneof"].get("pick"), buf
+
+# ---------------------------------------------------------------------------
+# round-7: one NESTING level + fixed32/64 floats in the vector decoder —
+# probe_result.task (singular nested message; rum_pb.rb ProbeResult shape)
+# and user_agent's non-contiguous fixed32 floats must match py_decode
+# record-for-record, including sub-level wire errors (which kill the parent
+# row), duplicate submessages (last wins), presence vs empty, and >uint64
+# varint fallbacks at either level.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_PROBE_PLAN = build_flat_plan(REG, "probe_result", 3)
+_UA_PLAN = build_flat_plan(REG, "user_agent", 3)
+assert _PROBE_PLAN is not None and _PROBE_PLAN.messages, "nested plan"
+assert _UA_PLAN is not None and _UA_PLAN.fixeds, "fixed plan"
+
+
+def _fx(num: int, wt: int, data: bytes) -> bytes:
+    return bytes([(num << 3) | wt]) + data
+
+
+_subrec = st.one_of(
+    st.tuples(st.just(2), u64).map(lambda t: py_field_varint(*t)),  # status
+    st.binary(min_size=8, max_size=8).map(lambda b: _fx(3, 1, b)),  # latency
+    st.tuples(st.sampled_from([4, 5, 6]), st.binary(max_size=8)).map(
+        lambda t: py_field_len(*t)),                                # strings
+    st.tuples(st.just(3), st.binary(max_size=6)).map(
+        lambda t: py_field_len(*t)),            # wt2 on double: WIRE_ERROR
+    st.binary(min_size=1, max_size=5),          # raw splice (may truncate)
+)
+
+_proberec = st.one_of(
+    st.tuples(st.just(1), st.binary(max_size=10)).map(
+        lambda t: py_field_len(*t)),                                # uuid
+    st.lists(_subrec, max_size=5).map(
+        lambda rs: py_field_len(2, b"".join(rs))),                  # task
+    st.tuples(st.just(2), u64).map(
+        lambda t: py_field_varint(*t)),         # varint on task: WIRE_ERROR
+    st.binary(min_size=8, max_size=8).map(lambda b: _fx(1, 1, b)),  # skip
+    st.binary(min_size=4, max_size=4).map(lambda b: _fx(9, 5, b)),  # unknown
+    st.binary(min_size=1, max_size=6),
+)
+
+
+def _veq(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float) \
+            and _math.isnan(a) and _math.isnan(b):
+        return True
+    return a == b
+
+
+def _nested_reference(buf):
+    sub_names = _PROBE_PLAN.subplans["task"].field_names
+    out = {"uuid": None, "task._present": None, "error": W.WIRE_ERROR}
+    out.update({f"task.{sn}": None for sn in sub_names})
+    if buf is None:
+        return out
+    try:
+        d = W.py_decode(bytes(buf), REG, "probe_result")
+    except ValueError:
+        return out
+    sub = d["task"]
+    res = {"uuid": d["uuid"], "task._present": sub is not None,
+           "error": None}
+    res.update({f"task.{sn}": (None if sub is None else sub[sn])
+                for sn in sub_names})
+    return res
+
+
+@given(st.lists(st.one_of(
+    st.none(),
+    st.lists(_proberec, max_size=6).map(b"".join)),
+    min_size=1, max_size=10))
+@settings(max_examples=300, deadline=None)
+def test_vector_decoder_matches_scalar_on_nested_probe(payloads):
+    cols = flat_decode_frame(_pd.Series(payloads, dtype=object), _PROBE_PLAN)
+    frame = _pd.DataFrame(cols)
+    for i, p in enumerate(payloads):
+        want = _nested_reference(p)
+        for k, wv in want.items():
+            gv = frame.iloc[i][k]
+            gv = None if gv is _pd.NA else gv
+            if gv is None and wv is None:
+                continue
+            assert _veq(gv, wv), (
+                f"row {i} field {k}: vector={gv!r} scalar={wv!r} "
+                f"payload={bytes(p) if p is not None else None!r}")
+
+
+_uarec = st.one_of(
+    st.tuples(st.sampled_from([1, 3, 7]), st.binary(max_size=8)).map(
+        lambda t: py_field_len(*t)),                              # strings
+    st.binary(min_size=4, max_size=4).map(lambda b: _fx(2, 5, b)),  # major
+    st.binary(min_size=4, max_size=4).map(lambda b: _fx(4, 5, b)),  # minor
+    st.binary(min_size=8, max_size=8).map(lambda b: _fx(2, 1, b)),  # skip
+    st.tuples(st.just(4), u64).map(
+        lambda t: py_field_varint(*t)),        # varint on float: WIRE_ERROR
+    st.binary(min_size=1, max_size=5),
+)
+
+
+@given(st.lists(st.lists(_uarec, max_size=6).map(b"".join),
+                min_size=1, max_size=10))
+@settings(max_examples=300, deadline=None)
+def test_vector_decoder_matches_scalar_on_fixed32_floats(payloads):
+    cols = flat_decode_frame(_pd.Series(payloads, dtype=object), _UA_PLAN)
+    frame = _pd.DataFrame(cols)
+    for i, p in enumerate(payloads):
+        try:
+            d = W.py_decode(bytes(p), REG, "user_agent")
+            want = {n: d[n] for n in _UA_PLAN.field_names}
+            want["error"] = None
+        except ValueError:
+            want = {n: None for n in _UA_PLAN.field_names}
+            want["error"] = W.WIRE_ERROR
+        for k, wv in want.items():
+            gv = frame.iloc[i][k]
+            gv = None if gv is _pd.NA else gv
+            if gv is None and wv is None:
+                continue
+            assert _veq(gv, wv), (
+                f"row {i} field {k}: vector={gv!r} scalar={wv!r} "
+                f"payload={bytes(p)!r}")
