@@ -122,7 +122,26 @@ def main() -> None:
                 routed = routed.observe(obs, *metric_exprs)
                 if strategy == "rr":
                     routed = routed.repartition(n)
-                elif strategy == "probe":
+                elif strategy.startswith("probe2x"):
+                    # probe placement with 2x task overcommit (tail
+                    # packing: reduce tasks = 2x cores so a straggler
+                    # doesn't idle a core) — optionally with concurrent
+                    # output writers to skip the per-task dynamic-partition
+                    # sort ("w" suffix)
+                    from logstash_codec_protobuf_spark.operators.route \
+                        import probe_repartition
+                    spark.conf.set(
+                        "spark.sql.maxConcurrentOutputFileWriters",
+                        "16" if strategy.endswith("w") else "0")
+                    sink_pos = F.array_position(
+                        F.array(*[F.lit(s) for s in cfg.sinks]),
+                        F.col("sink")) - F.lit(1)
+                    group_idx = (F.col("_bucket") * F.lit(len(cfg.sinks))
+                                 + sink_pos)
+                    routed = probe_repartition(
+                        routed, 2 * n, group_idx,
+                        N_BUCKETS * len(cfg.sinks))
+                elif strategy.startswith("probe"):
                     # the FINAL round-7 pipeline strategy: deterministic
                     # combo->partition placement via driver-computed probe
                     # integers (route.probe_repartition) — no hash lottery
@@ -165,8 +184,13 @@ def main() -> None:
                     salt = F.pmod(F.crc32(F.col("conv_id")), F.lit(buckets))
                     routed = routed.repartition(
                         n, F.col("_bucket"), F.col("sink"), salt)
-                routed.write.mode("append") \
-                    .partitionBy("_bucket", "sink").parquet(out)
+                if strategy.endswith("_nowrite"):
+                    # isolate the exchange: full shuffle, no file write
+                    routed.selectExpr("sum(length(text))", "sum(cents)",
+                                      "count(1)").collect()
+                else:
+                    routed.write.mode("append") \
+                        .partitionBy("_bucket", "sink").parquet(out)
                 obs.get  # barrier: metrics available == action done
 
             def _run_wave(strategy: str, keep: str | None = None) -> float:
