@@ -418,6 +418,25 @@ def run_scaling(sf_dir: str, sf: str) -> dict:
             _cal()
             t_cal = min(_timed(_cal) for _ in range(3))
 
+            # SHUFFLE ceiling: the minimal-logic exchange at the SAME row
+            # count and ~payload width as the routed write — range ->
+            # repartition -> consume, zero parse, zero files, zero Python.
+            # The e2e composite is exchange-dominated, and ser/deser+codec
+            # through one socket's memory bus has a LOWER 8->32 ceiling
+            # than the pure-ALU kernel; measuring it turns "the residual
+            # e2e gap is host bus saturation" into a number instead of an
+            # assertion (round-6 verdict item 1).
+            def _shuf():
+                (spark.range(0, n_turns, 1, 256)
+                 .selectExpr("id", "repeat('x', 150) AS pad")
+                 .repartition(int(spark.conf.get(
+                     "spark.sql.shuffle.partitions")), "id")
+                 .selectExpr("sum(id)", "sum(length(pad))", "count(1)")
+                 .collect())
+
+            _shuf()
+            t_shuf = min(_timed(_shuf) for _ in range(2))
+
             def _pr():
                 # consume EVERY routed column: Catalyst would otherwise prune
                 # the parse down to the 2 fields a bare sink-count needs,
@@ -454,10 +473,12 @@ def run_scaling(sf_dir: str, sf: str) -> dict:
                 t_pr = min(t_pr, prev["parse_route_sec"])
                 t_e2e = min(t_e2e, prev["e2e_sec"])
                 t_cal = min(t_cal, prev["calibration_sec"])
+                t_shuf = min(t_shuf, prev["shuffle_kernel_sec"])
             results[n] = {
                 "parse_route_sec": round(t_pr, 3),
                 "e2e_sec": round(t_e2e, 3),
                 "calibration_sec": round(t_cal, 3),
+                "shuffle_kernel_sec": round(t_shuf, 3),
                 "parse_route_tps": round(n_turns / t_pr),
                 "e2e_tps": round(n_turns / t_e2e),
             }
@@ -469,6 +490,8 @@ def run_scaling(sf_dir: str, sf: str) -> dict:
     eff_pr = (results[hi]["parse_route_tps"] / results[lo]["parse_route_tps"]) / ratio
     eff_e2e = (results[hi]["e2e_tps"] / results[lo]["e2e_tps"]) / ratio
     eff_cal = (results[lo]["calibration_sec"] / results[hi]["calibration_sec"]) / ratio
+    eff_shuf = (results[lo]["shuffle_kernel_sec"]
+                / results[hi]["shuffle_kernel_sec"]) / ratio
     report = {
         "sf": sf,
         "replication": repl,
@@ -479,8 +502,13 @@ def run_scaling(sf_dir: str, sf: str) -> dict:
         "scaling_efficiency_parse_route": round(eff_pr, 3),
         "scaling_efficiency_e2e": round(eff_e2e, 3),
         "scaling_efficiency_hardware_ceiling": round(eff_cal, 3),
+        "scaling_efficiency_shuffle_ceiling": round(eff_shuf, 3),
         "normalized_efficiency_parse_route": round(min(1.0, eff_pr / eff_cal), 3),
         "normalized_efficiency_e2e": round(min(1.0, eff_e2e / eff_cal), 3),
+        # the e2e composite is exchange-dominated: its host ceiling is the
+        # minimal-logic shuffle kernel, not the pure-ALU kernel
+        "normalized_efficiency_e2e_vs_shuffle": round(
+            min(1.0, eff_e2e / eff_shuf), 3),
     }
     md = f"""# BENCH baseline — scaling evidence
 
@@ -489,20 +517,26 @@ executors. Sandbox evidence: the identical parse->enrich->route job on the
 identical input ({n_turns:,} turns = sf{sf} transcripts x{repl} deterministic
 replication) at local[{lo}] vs local[{hi}] (one JVM, N vs 4N executor threads).
 
-| config | parse->route tps | e2e fan-out tps | calibration sec | parse->route sec | e2e sec |
-| --- | --- | --- | --- | --- | --- |
-| local[{lo}]  | {results[lo]['parse_route_tps']:,} | {results[lo]['e2e_tps']:,} | {results[lo]['calibration_sec']} | {results[lo]['parse_route_sec']} | {results[lo]['e2e_sec']} |
-| local[{hi}] | {results[hi]['parse_route_tps']:,} | {results[hi]['e2e_tps']:,} | {results[hi]['calibration_sec']} | {results[hi]['parse_route_sec']} | {results[hi]['e2e_sec']} |
+| config | parse->route tps | e2e fan-out tps | calibration sec | shuffle kernel sec | parse->route sec | e2e sec |
+| --- | --- | --- | --- | --- | --- | --- |
+| local[{lo}]  | {results[lo]['parse_route_tps']:,} | {results[lo]['e2e_tps']:,} | {results[lo]['calibration_sec']} | {results[lo]['shuffle_kernel_sec']} | {results[lo]['parse_route_sec']} | {results[lo]['e2e_sec']} |
+| local[{hi}] | {results[hi]['parse_route_tps']:,} | {results[hi]['e2e_tps']:,} | {results[hi]['calibration_sec']} | {results[hi]['shuffle_kernel_sec']} | {results[hi]['parse_route_sec']} | {results[hi]['e2e_sec']} |
 
 Raw scaling efficiency (tps_32 / tps_8) / 4:
 - parse->route: **{eff_pr:.3f}**
 - end-to-end (checkpointed fan-out write): **{eff_e2e:.3f}**
 - hardware ceiling (pure-ALU calibration kernel, zero IO/shuffle/memory
   streaming — the BEST any job can do on this box): **{eff_cal:.3f}**
+- SHUFFLE ceiling (minimal-logic exchange at the same row count and
+  payload width: range -> repartition -> consume, zero parse, zero files,
+  zero Python — the best ANY exchange of this volume can do on this box):
+  **{eff_shuf:.3f}**
 
-Efficiency normalized to the measured hardware ceiling:
-- parse->route: **{min(1.0, eff_pr / eff_cal):.3f}**
-- end-to-end: **{min(1.0, eff_e2e / eff_cal):.3f}**
+Efficiency normalized to the measured ceilings:
+- parse->route vs ALU ceiling: **{min(1.0, eff_pr / eff_cal):.3f}**
+- end-to-end vs ALU ceiling: **{min(1.0, eff_e2e / eff_cal):.3f}**
+- end-to-end vs SHUFFLE ceiling (the composite is exchange-dominated, so
+  this is the ceiling that matches its phase mix): **{min(1.0, eff_e2e / eff_shuf):.3f}**
 
 Why the ceiling exists — and why it does not exist on a real cluster: a
 local[N] "cluster" multiplies threads on ONE socket. Going 8 -> 32 active
