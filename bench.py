@@ -23,7 +23,8 @@ import tempfile
 import time
 
 
-def make_spark(cpus: int, shuffle_partitions: int | None = None):
+def make_spark(cpus: int, shuffle_partitions: int | None = None,
+               io_codec: str | None = None):
     from pyspark.sql import SparkSession
 
     return (
@@ -51,15 +52,17 @@ def make_spark(cpus: int, shuffle_partitions: int | None = None):
                 os.environ.get("SPARK_GRAFT_LOCAL_DIR",
                                "/dev/shm/spark_local"
                                if os.path.isdir("/dev/shm") else "/tmp"))
-        # shuffle/broadcast block codec: zstd by default since round 7 —
-        # the pre-write exchange is the engine's one big shuffle and the
-        # worst-scaling phase at high core counts (memory-bus-bound);
-        # denser compression moves fewer bytes through it: fan-out wave
-        # 23.2s -> 20.7s at local[32] on 20M turns for +2.6% at local[8]
-        # (BENCH/e2e_decompose_r7_zstd.md). Same lever on a real cluster:
-        # shuffle-heavy jobs ship fewer bytes over network + NVMe.
+        # shuffle/broadcast block codec, a WORKLOAD-SIZE knob (round 7):
+        # at 20M-turn exchange volume the single-socket memory bus is the
+        # bottleneck and DENSER compression wins — zstd cut the fan-out
+        # wave 23.2s -> 20.7s at local[32] (BENCH/e2e_decompose_r7_zstd.md)
+        # — so run_scaling pins zstd explicitly; at the 100k-turn headline
+        # scale the shuffles are tiny and zstd's CPU cost is pure overhead
+        # (+7% composite, A/B BENCH/bench_r7_clean_run*.log), so the
+        # default stays lz4. A cluster deployment sets this per job class.
         .config("spark.io.compression.codec",
-                os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"))
+                io_codec
+                or os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"))
         .getOrCreate()
     )
 
@@ -393,7 +396,10 @@ def run_scaling(sf_dir: str, sf: str) -> dict:
     # INTERLEAVED across cycles and the per-level minimum kept, so transient
     # host load (this sandbox is shared) can't systematically punish one level.
     for n in [lvl for _ in range(cycles) for lvl in (hi, lo)]:
-        spark = make_spark(n)
+        # zstd pinned: the 20M-turn exchange is memory-bus-bound and denser
+        # compression is a measured win there (see make_spark codec note)
+        spark = make_spark(n, io_codec=os.environ.get(
+            "SPARK_GRAFT_IO_CODEC", "zstd"))
         try:
             from logstash_codec_protobuf_spark.operators.enrich import enrich
             from logstash_codec_protobuf_spark.operators.parse import parse_turns
