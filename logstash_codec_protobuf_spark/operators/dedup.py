@@ -83,8 +83,12 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     """
     d = SPARK
     cand = minhash_pairs(docs, max_bucket=max_bucket, accounting=accounting)
-    shingle_col = _shingles_udf(k)(F.col("text"))
-    sh = docs.select(
+    # packed int64 shingles whenever they fit (k <= 3): intersection SIZE is
+    # all Jaccard consumes, and the packing is a bijection, so the verifier
+    # intersects long arrays at a fraction of the string-array cost
+    shingle_fn = _shingles_packed_udf(k) if 21 * k <= 63 else _shingles_udf(k)
+    shingle_col = shingle_fn(F.col("text"))
+    sh = _spread(docs.select("doc_id", "text")).select(
         "doc_id", shingle_col.alias("shingles")
     ).select(
         "doc_id", "shingles", F.size("shingles").alias("n_sh")
@@ -239,9 +243,52 @@ def _shingles_udf(k: int):
     return shingles
 
 
+def _shingles_packed_udf(k: int):
+    """Distinct char-k-grams PACKED into int64 — a bijection window<->code
+    for k*21 <= 63 bits (every Unicode codepoint, lone surrogates included,
+    is < 2^21), so set sizes and intersection sizes equal the string
+    kernel's exactly while the candidate-pair verifier intersects narrow
+    long arrays instead of string arrays (round-8: the intersect stage was
+    ~2/3 of dedup_jaccard_lsh wall). Only the SIZES of these arrays ever
+    reach a result, so the packing is invisible to the oracle contract."""
+    assert 21 * k <= 63, "packed shingles require k <= 3"
+    w = (1 << np.arange(21 * (k - 1), -1, -21, dtype=np.int64)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def shingles(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if t is None:  # NULL text null-propagates like the SQL template
+                out.append(None)
+                continue
+            c = _codepoints(t)
+            if len(c) < k:
+                out.append([])
+                continue
+            out.append(np.unique(sliding_window_view(c, k) @ w).tolist())
+        return pd.Series(out)
+    return shingles
+
+
 def _hash_basis(docs: DataFrame) -> DataFrame:
     """(doc_id, _hb): the shingle-hash array, computed exactly once per doc."""
     return docs.select("doc_id", _shingle_hashes_udf(F.col("text")).alias("_hb"))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a NARROW source up to the session's default
+    parallelism before a per-row Arrow kernel — scale-adaptive (guide §2.2):
+    a small corpus packs into one scan split (documents.parquet at bench SF
+    is one 0.6 MB file), which serializes every fingerprint UDF on a single
+    task; a corpus already wider than the core count is left untouched, so
+    no shuffle is ever added at real scale. The exchange moves only the
+    rows the kernel needs (doc_id + text), never derived arrays."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(n) if cur < n else df
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -260,11 +307,53 @@ def _minhash_sigs_udf(hb: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _basis_arr(t: str) -> "np.ndarray | None":
+    """Distinct shingle-hash basis of one text as an int64 array — the numpy
+    core shared by the fused text->fingerprint kernels. None for NULL text
+    (null-propagation), empty for texts shorter than the shingle width."""
+    if t is None:
+        return None
+    c = _codepoints(t)
+    if len(c) < MINHASH_SHINGLE_K:
+        return np.empty(0, dtype=np.int64)
+    w = sliding_window_view(c, MINHASH_SHINGLE_K)
+    if c.max() < 65536:
+        _, idx = np.unique(w @ _PACK_W, return_index=True)
+        w = w[idx]
+    else:
+        w = np.unique(w, axis=0)
+    h = (w @ _POLY_W) % MOD
+    return h * 48271 % MOD * 48271 % MOD
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _minhash_sigs_text_udf(text: pd.Series) -> pd.Series:
+    """FUSED text -> 16 permutation minima (round-8): the chained
+    basis-then-sigs pandas UDFs serialized the full shingle-hash array
+    JVM->Python->JVM between two ArrowEvalPython nodes — the basis is ~n
+    longs per doc and only 16 minima ever leave Python. Arithmetic is the
+    _shingle_hashes_udf + _minhash_sigs_udf composition verbatim."""
+    out = []
+    for t in text:
+        arr = _basis_arr(t)
+        if arr is None:
+            out.append(None)
+        elif len(arr) == 0:
+            # amin over an empty array is NULL in the SQL template
+            out.append(None)
+        else:
+            out.append(((arr[:, None] * _PERM_A + _PERM_B) % MOD)
+                       .min(0).tolist())
+    return pd.Series(out)
+
+
 def minhash_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, band_idx, band_key) — the LSH bucket assignment. One narrow
-    projection + explode; no shuffle until the candidate join."""
-    sigs = _hash_basis(docs).select(
-        "doc_id", _minhash_sigs_udf(F.col("_hb")).alias("_sigs")
+    projection + explode; no shuffle until the candidate join. The 16
+    signatures come from ONE fused Arrow kernel (text in, 16 longs out) —
+    no basis array ever crosses the Python boundary."""
+    sigs = _spread(docs.select("doc_id", "text")).select(
+        "doc_id", _minhash_sigs_text_udf(F.col("text")).alias("_sigs")
     )
     items = ", ".join(
         "named_struct('band_idx', {i}, 'band_key', {key})".format(
@@ -511,12 +600,35 @@ def _simhash32_udf(hb: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _vote32(arr: "np.ndarray") -> int:
+    """32-bit majority vote over an int64 hash array — the _simhash32_udf
+    rule (bit b set iff 2*count(bit set) > len)."""
+    n = len(arr)
+    if n == 0:
+        return 0
+    bits = ((arr[:, None] >> _BIT_SHIFTS) & 1).sum(0)
+    return int((((2 * bits > n).astype(np.int64) << _BIT_SHIFTS)).sum())
+
+
+@F.pandas_udf(T.LongType())
+def _simhash32_text_udf(text: pd.Series) -> pd.Series:
+    """FUSED text -> 32-bit SimHash (round-8): same boundary cut as
+    _minhash_sigs_text_udf — the distinct shingle-hash basis stays inside
+    one Python evaluation instead of round-tripping through the JVM between
+    two chained pandas UDFs. Composition of _shingle_hashes_udf +
+    _simhash32_udf, arithmetic unchanged."""
+    out = []
+    for t in text:
+        arr = _basis_arr(t)
+        out.append(None if arr is None else _vote32(arr))
+    return pd.Series(out, dtype="object")
+
+
 def simhash(docs: DataFrame) -> DataFrame:
-    """Two-stage projection: hash basis column first, then the 32-bit vote
-    over the column (Arrow-vectorized — the SQL vote is ~32 interpreted
-    folds per row; the template remains the oracle's definition)."""
-    return _hash_basis(docs).select(
-        "doc_id", _simhash32_udf(F.col("_hb")).alias("simhash32")
+    """One fused Arrow kernel: text in, 32-bit vote out (the SQL template
+    remains the oracle's definition)."""
+    return _spread(docs.select("doc_id", "text")).select(
+        "doc_id", _simhash32_text_udf(F.col("text")).alias("simhash32")
     )
 
 
@@ -660,7 +772,7 @@ def dedup_clusters_star(docs: DataFrame, pairs: DataFrame | None = None,
     edges = (
         pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
         .filter(F.col("u") != F.col("v")).distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by the count below
     )
     n_edges = edges.count()
     rounds = 0
@@ -688,18 +800,24 @@ def dedup_clusters_star(docs: DataFrame, pairs: DataFrame | None = None,
             .union(m2.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         rounds += 1
         # fixed-point check: both sets are distinct, so equal counts plus
-        # one-direction containment proves equality — one anti-join per
-        # round instead of two (counts over localCheckpointed partitions
-        # are scans, not shuffles)
-        n_small = small.count()
-        converged = (
-            n_small == n_edges
-            and small.subtract(edges).limit(1).count() == 0
+        # one-direction containment proves equality. ONE job per round
+        # (round-8): a left join of the new edge set against the previous
+        # one yields count(new) and count(contained) in a single aggregate
+        # — and, being the round's first action, it also materializes the
+        # (lazy) localCheckpoint above. The old shape paid three jobs per
+        # round: eager checkpoint, count, anti-join probe.
+        stats = (
+            small.join(edges.withColumn("_e", F.lit(1)), ["u", "v"], "left")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count("_e").alias("matched"))
+            .first()
         )
+        n_small = stats["n"]
+        converged = n_small == n_edges and stats["matched"] == n_small
         edges, n_edges = small, n_small
         if converged:
             break
@@ -783,15 +901,32 @@ def _shingle_hashes_all_udf(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(T.LongType())
+def _simhash32_all_text_udf(text: pd.Series) -> pd.Series:
+    """Fused weighted twin: frequency-preserving multiset basis + vote in
+    one Python evaluation (composition of _shingle_hashes_all_udf +
+    _simhash32_udf, arithmetic unchanged)."""
+    k = MINHASH_SHINGLE_K
+    out = []
+    for t in text:
+        if t is None:
+            out.append(None)
+            continue
+        c = _codepoints(t)
+        if len(c) < k:
+            out.append(0)
+            continue
+        h = (sliding_window_view(c, k) @ _POLY_W) % MOD
+        out.append(_vote32(h * 48271 % MOD * 48271 % MOD))
+    return pd.Series(out, dtype="object")
+
+
 def simhash_weighted(docs: DataFrame) -> DataFrame:
     """Weighted (term-frequency) SimHash: the identical majority vote run
     over the frequency-preserving multiset — a shingle occurring 3x casts 3
-    votes. Two-stage projection + Arrow vote, like the unweighted variant."""
-    basis = docs.select(
-        "doc_id", _shingle_hashes_all_udf(F.col("text")).alias("_hb")
-    )
-    return basis.select(
-        "doc_id", _simhash32_udf(F.col("_hb")).alias("simhash32_w")
+    votes. One fused Arrow kernel, like the unweighted variant."""
+    return _spread(docs.select("doc_id", "text")).select(
+        "doc_id", _simhash32_all_text_udf(F.col("text")).alias("simhash32_w")
     )
 
 

@@ -63,6 +63,58 @@ def pair_dot(a: str | Column, b: str | Column) -> Column:
                         F.col(b) if isinstance(b, str) else b)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a narrow source up to default parallelism
+    before per-row kernels — scale-adaptive (guide §2.2): the bench corpus
+    is one 0.8 MB parquet split, which serializes hashing/norms on a single
+    task; an input already wider than the core count is left untouched."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(n) if cur < n else df
+
+
+def _nrm_np(V: "object") -> "object":
+    """Per-vector norm with the SQL fold's exact IEEE tree: acc = 0.0;
+    acc += CAST(v_i AS DOUBLE)^2 in index order; sqrt."""
+    import numpy as np
+
+    acc = np.zeros(len(V), dtype=np.float64)
+    for i in range(V.shape[1]):
+        acc = acc + V[:, i] * V[:, i]
+    return np.sqrt(acc)
+
+
+def _bucket_nrm_udf(n_planes: int):
+    """FUSED (bucket, nrm) kernel (round-8): the SQL rendering of the
+    hyperplane signature is n_planes interpreted 64-term aggregate() folds
+    per row — measured as the dominant cost of every LSH consumer. The
+    numpy twin folds in the identical index order against the identical
+    double literals, so bucket ids and norms are bit-equal to the SQL
+    template (pinned by test_bucket_nrm_kernel_matches_sql_template)."""
+    import numpy as np
+
+    P = np.array(_hyperplanes(n_planes), dtype=np.float64)  # (p, dim)
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("bucket", T.LongType()),
+        T.StructField("nrm", T.DoubleType()),
+    ]))
+    def kernel(emb: pd.Series) -> pd.DataFrame:
+        V = np.stack(emb.to_numpy()).astype(np.float64)
+        bucket = np.zeros(len(V), dtype=np.int64)
+        for p in range(P.shape[0]):
+            acc = np.zeros(len(V), dtype=np.float64)
+            for i in range(V.shape[1]):
+                acc = acc + V[:, i] * P[p, i]
+            bucket |= (acc >= 0).astype(np.int64) << p
+        return pd.DataFrame({"bucket": bucket, "nrm": _nrm_np(V)})
+
+    return kernel
+
+
 def _local_topk(k: int):
     """Per-Arrow-batch partial top-k under the FINAL total order
     (score desc, neighbor_id asc): every global top-k row is top-k within
@@ -96,9 +148,9 @@ def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
     mapInPandas partial top-k before the per-query window, so the window's
     q-key shuffle — which would otherwise funnel q*n rows into q tasks —
     ranks a few thousand survivors regardless of corpus size."""
-    d = SPARK
-    nrm = F.expr(f"sqrt({d.dot('embedding', 'embedding')})")
-    h = emb.withColumn("nrm", nrm)
+    h = _spread(emb.select("vec_id", "embedding")).select(
+        "vec_id", "embedding",
+        _bucket_nrm_udf(0)(F.col("embedding"))["nrm"].alias("nrm"))
     q = h.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
         F.col("nrm").alias("q_nrm"),
@@ -157,45 +209,72 @@ def neardup_pairs(emb: DataFrame, threshold: float = 0.9,
     an exact DuckDB oracle. Replaces label-blocking: labels are few and
     skewed (O(block^2) blowup), buckets are balanced by construction and the
     plane count tunes block size independent of the data."""
-    d = SPARK
-    bucket = F.expr(lsh_bucket_expr("embedding", n_planes))
-    # persist: the bucketed frame feeds both join sides (probe fan-out and
-    # corpus); without it each side re-evaluates n_planes 64-d dot products.
-    # The norm is precomputed per VECTOR (n values) so the per-PAIR work is
-    # one dot product instead of three: cosine = dot/(nrm_a*nrm_b) is the
-    # identical IEEE expression tree the oracle folds, just factored.
+    import numpy as np
+
+    # Round-8 shape (guide §8: decide with small rows, move big rows once):
+    # the old plan materialized every candidate PAIR through a join — both
+    # 64-float vectors shipped to Python per pair (~650k pairs x 128 doubles
+    # at bench SF, the case's dominant cost). Instead, each vector now
+    # travels once per probe (1 + n_planes small rows), candidates are
+    # grouped by the bucket they meet in, and one Arrow task scores a whole
+    # bucket block with vectorized index-order folds — arithmetic identical
+    # to the pair_dot/try_divide/trunc6 expression tree, pinned by the
+    # exact DuckDB oracle. Block memory is bounded by chunking the probe
+    # side, so a hot bucket can never OOM a task.
     h = cache.track(
-        emb.withColumn("bucket", bucket)
-        .withColumn("nrm", F.expr(f"sqrt({d.dot('embedding', 'embedding')})"))
+        _spread(emb.select("vec_id", "embedding")).select(
+            "vec_id", "embedding",
+            _bucket_nrm_udf(n_planes)(F.col("embedding")).alias("_bn"))
+        .select("vec_id", "embedding", F.col("_bn.bucket").alias("bucket"))
     )
     probes = "array(bucket" + "".join(
-        f", bucket ^ {1 << p}" for p in range(n_planes)
+        f" , bucket ^ {1 << p}" for p in range(n_planes)
     ) + ")"
-    a = h.select(F.col("vec_id").alias("a_id"),
-                 F.col("embedding").alias("av"),
-                 F.col("nrm").alias("a_nrm"),
-                 F.explode(F.expr(probes)).alias("probe"))
-    b = h.select(F.col("vec_id").alias("b_id"),
-                 F.col("embedding").alias("bv"),
-                 F.col("nrm").alias("b_nrm"),
-                 F.col("bucket").alias("b_bucket"))
-    # materialize the dot product per candidate pair BEFORE the threshold
-    # filter: predicate pushdown would otherwise substitute the aliased fold
-    # back into the filter and evaluate the 64-term dot twice per pair
-    pairs = (
-        a.join(b, (F.col("probe") == F.col("b_bucket"))
-               & (F.col("a_id") < F.col("b_id")))
-        .select("a_id", "b_id",
-                pair_dot("av", "bv").alias("dp"),
-                "a_nrm", "b_nrm")
-    )
-    pairs = cache.track(pairs)
-    # try_divide: zero-norm vector -> NULL score (never ANSI DIVIDE_BY_ZERO),
-    # filtered by the threshold predicate — same as the oracle's nullif guard
-    score = F.expr(d.trunc6("try_divide(dp, a_nrm * b_nrm)"))
+    a = h.select(F.lit(0).alias("side"), F.col("vec_id").alias("id"),
+                 "embedding", F.explode(F.expr(probes)).alias("g"))
+    b = h.select(F.lit(1).alias("side"), F.col("vec_id").alias("id"),
+                 "embedding", F.col("bucket").alias("g"))
+    thr = float(threshold)
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": pd.Series(dtype="int64"),
+                              "b_id": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        A = pdf[pdf["side"] == 0]
+        B = pdf[pdf["side"] == 1]
+        if not len(A) or not len(B):
+            return empty
+        Av = np.stack(A["embedding"].to_numpy()).astype(np.float64)
+        Bv = np.stack(B["embedding"].to_numpy()).astype(np.float64)
+        a_ids = A["id"].to_numpy()
+        b_ids = B["id"].to_numpy()
+        a_nrm = _nrm_np(Av)
+        b_nrm = _nrm_np(Bv)
+        out = []
+        step = max(1, (1 << 22) // max(len(b_ids), 1))  # <=4M cells/chunk
+        for lo in range(0, len(a_ids), step):
+            Ab = Av[lo:lo + step]
+            # index-order fold across dims, vectorized across the block —
+            # the same IEEE tree as the per-pair dot
+            acc = np.zeros((len(Ab), len(b_ids)), dtype=np.float64)
+            for i in range(Ab.shape[1]):
+                acc = acc + Ab[:, i, None] * Bv[None, :, i]
+            denom = a_nrm[lo:lo + step, None] * b_nrm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                score = np.floor(acc / denom * 1000000.0) / 1000000.0
+            keep = ((a_ids[lo:lo + step, None] < b_ids[None, :])
+                    & (denom != 0.0) & (score >= thr))
+            ai, bi = np.nonzero(keep)
+            if len(ai):
+                out.append(pd.DataFrame({
+                    "a_id": a_ids[lo:lo + step][ai], "b_id": b_ids[bi],
+                    "score": score[ai, bi]}))
+        return pd.concat(out) if out else empty
+
     return (
-        pairs.select("a_id", "b_id", score.alias("score"))
-        .filter(F.col("score") >= threshold)
+        a.unionByName(b)
+        .groupBy("g")
+        .applyInPandas(score_block, "a_id long, b_id long, score double")
     )
 
 
@@ -257,11 +336,12 @@ def lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
     a partition-pruned scan; here it is a co-partitioned equi-join on bucket.
     Per-query cost: (1 + n_planes)/2^n_planes of the corpus instead of 100%.
     """
-    d = SPARK
-    bucket = F.expr(lsh_bucket_expr("embedding", n_planes))
-    nrm = F.expr(f"sqrt({d.dot('embedding', 'embedding')})")
     hashed = cache.track(
-        emb.withColumn("bucket", bucket).withColumn("nrm", nrm)
+        _spread(emb.select("vec_id", "embedding")).select(
+            "vec_id", "embedding",
+            _bucket_nrm_udf(n_planes)(F.col("embedding")).alias("_bn"))
+        .select("vec_id", "embedding", F.col("_bn.bucket").alias("bucket"),
+                F.col("_bn.nrm").alias("nrm"))
     )
     q = hashed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),

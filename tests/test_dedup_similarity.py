@@ -865,3 +865,59 @@ def test_resize_real_is_geometry_sensitive():
     # dead letter: the pure decoder refuses junk loudly
     with pytest.raises(ValueError, match="image payload"):
         MM.decode_pixels(b"junk")
+
+
+def test_bucket_nrm_kernel_matches_sql_template(spark):
+    """Round-8: the fused numpy (bucket, nrm) kernel must be BIT-equal to
+    the SQL hyperplane-signature + norm-fold templates it replaced — the
+    bucket id decides candidate membership, so even a one-ulp divergence
+    would change neardup/lsh_topk results."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    for planes in (2, 4):
+        sql_bucket = F.expr(SIM.lsh_bucket_expr("embedding", planes))
+        sql_nrm = F.expr(
+            f"sqrt({SIM.SPARK.dot('embedding', 'embedding')})")
+        got = (
+            emb.select(
+                "vec_id",
+                SIM._bucket_nrm_udf(planes)(F.col("embedding")).alias("bn"),
+                sql_bucket.alias("sb"), sql_nrm.alias("sn"))
+            .selectExpr("vec_id", "bn.bucket AS nb", "bn.nrm AS nn",
+                        "sb", "sn")
+            .collect()
+        )
+        for r in got:
+            assert r["nb"] == r["sb"], (planes, r)
+            assert r["nn"] == r["sn"], (planes, r)  # exact, not approx
+
+
+def test_packed_shingles_bijective_vs_string_kernel(spark):
+    """Round-8: the packed int64 3-gram kernel must preserve distinct-set
+    SIZES and pairwise intersection sizes exactly (it is a bijection on
+    windows), including surrogates, non-BMP chars and repeated shingles —
+    the quantities Jaccard consumes."""
+    import pandas as pd
+
+    texts = [
+        None, "", "ab", "abc", "abcabcabc", "aaaaaa",
+        "heéllo woérld", "\U0001F600abc\U0001F600ab",
+        "ab\ud800cd\ud800ab",  # lone surrogates
+        "xyxyxyxyx", "abcdefghij",
+    ]
+    s = pd.Series(texts)
+    got_packed = DD._shingles_packed_udf(3).func(s)
+    got_str = DD._shingles_udf(3).func(s)
+    for p, q in zip(got_packed, got_str):
+        if p is None or q is None:
+            assert p is None and q is None
+            continue
+        assert len(p) == len(set(p))
+        assert len(p) == len(set(q)), (p, q)
+    # intersection sizes match the string kernel pairwise
+    for i in range(len(texts)):
+        for j in range(len(texts)):
+            p1, p2 = got_packed[i], got_packed[j]
+            s1, s2 = got_str[i], got_str[j]
+            if p1 is None or p2 is None:
+                continue
+            assert len(set(p1) & set(p2)) == len(set(s1) & set(s2)), (i, j)
