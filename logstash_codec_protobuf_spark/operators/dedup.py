@@ -784,12 +784,15 @@ def dedup_clusters_star(docs: DataFrame, pairs: DataFrame | None = None,
             edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = (sym.groupBy("u").agg(F.min("v").alias("mn"))
              .select("u", F.least("mn", "u").alias("m")))
+        # NOTE: no distinct here (round-8) — duplicates cannot change the
+        # small-star step (m2 is a min over u; the trailing distinct below
+        # dedupes the edge set), and the dropped exchange was one of four
+        # per round on an iterative path where round latency is the cost.
         large = (
             sym.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         oriented = large.select(F.greatest("u", "v").alias("u"),
                                 F.least("u", "v").alias("v"))
@@ -804,20 +807,16 @@ def dedup_clusters_star(docs: DataFrame, pairs: DataFrame | None = None,
         )
         rounds += 1
         # fixed-point check: both sets are distinct, so equal counts plus
-        # one-direction containment proves equality. ONE job per round
-        # (round-8): a left join of the new edge set against the previous
-        # one yields count(new) and count(contained) in a single aggregate
-        # — and, being the round's first action, it also materializes the
-        # (lazy) localCheckpoint above. The old shape paid three jobs per
-        # round: eager checkpoint, count, anti-join probe.
-        stats = (
-            small.join(edges.withColumn("_e", F.lit(1)), ["u", "v"], "left")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.count("_e").alias("matched"))
-            .first()
+        # one-direction containment proves equality. Round-8 job budget:
+        # the count (which also materializes the lazy localCheckpoint
+        # above) runs every round; the containment probe — a join against
+        # the previous edge set — runs ONLY when the counts tie, i.e. on
+        # the candidate-final round. The old shape paid eager checkpoint +
+        # count + anti-join every round.
+        n_small = small.count()
+        converged = n_small == n_edges and (
+            small.join(edges, ["u", "v"], "left_semi").count() == n_small
         )
-        n_small = stats["n"]
-        converged = n_small == n_edges and stats["matched"] == n_small
         edges, n_edges = small, n_small
         if converged:
             break

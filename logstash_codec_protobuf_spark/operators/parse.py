@@ -56,10 +56,32 @@ PARSED_TYPE = T.StructType(
 _PARSE_ERROR = "payload does not match PB3 wire format"
 
 
+# Field prefix widths inside the split pieces ("conv=" is 5 chars, ...).
+# On a matched row piece i+1 is exactly "<name>=<group_i>" for the first 9
+# groups (none of them can contain '|'), so substring == regexp_extract.
+_PREFIX_LEN = [5, 5, 5, 5, 7, 6, 6, 5, 6]
+
+
 def _native_parse_col(text: Column) -> Column:
-    """JVM-side parse: matched rows -> populated struct, else error struct."""
+    """JVM-side parse: matched rows -> populated struct, else error struct.
+
+    One regex validation pass (rlike) + one split + one regexp_extract for
+    the final msg group, instead of the old 1 rlike + 10 regexp_extract —
+    the payload regex ran 11 times per row and dominated every consumer of
+    the parse stage (round-8; equivalence pinned by test_parse parity).
+    msg alone keeps the regex extract because ``(.*)$`` excludes a trailing
+    line terminator where a split piece would keep it; the other nine
+    groups are '|'-free by construction, so their split pieces are
+    byte-identical to the regex groups whenever the row matches at all.
+    """
+    parts = F.split(text, r"\|", 11)
+
     def grp(i: int, typ: str) -> Column:
-        c = F.regexp_extract(text, PAYLOAD_REGEX, i)
+        if i == 10:  # msg: the only group where split and regex can differ
+            c = F.regexp_extract(text, PAYLOAD_REGEX, 10)
+        else:
+            c = F.substring(F.element_at(parts, i + 1),
+                            _PREFIX_LEN[i - 1] + 1, 2_000_000_000)
         return c if typ == "string" else c.cast(typ)
 
     good = F.struct(

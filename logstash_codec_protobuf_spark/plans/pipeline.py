@@ -64,6 +64,37 @@ def _routed_wave(spark: SparkSession, sf_dir: str, cfg: CodecConfig,
     )
 
 
+def _combos_per_partition(sf_dir: str, transcripts_path: str | None) -> int:
+    """Salt-combo density for the pre-write probe repartition, derived from
+    INPUT SIZE (round-8, verdict item 1): at headline scale the +29% clean-
+    bench e2e regression was file-count overhead — combos_per_partition=4
+    wrote 160 files where 40 carry the same rows, and the extra writer
+    opens/commits cost ~0.5s against a 2s write (A/B in
+    OPTIMIZATION_r08.md). At 20M-turn scale the wider combo space is what
+    averages hot-combo mass across tasks, so size, not parallelism, picks
+    the density — same pattern as the workload-size io codec choice
+    (bench.py). Threshold: staged 20M-turn input is ~3 GB, the headline
+    derivation input is ~2 MB; 64 MB splits them with orders of magnitude
+    of margin. SPARK_GRAFT_COMBOS_PER_PARTITION overrides for deployments."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_COMBOS_PER_PARTITION")
+    if env:
+        return max(1, int(env))
+    try:
+        if transcripts_path is not None:
+            size = sum(
+                os.path.getsize(os.path.join(transcripts_path, f))
+                for f in os.listdir(transcripts_path)
+                if f.endswith(".parquet")
+            )
+        else:
+            size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        return 4  # unknown input: keep the mass-averaging default
+    return 1 if size < (64 << 20) else 4
+
+
 def run_pipeline(
     spark: SparkSession,
     sf_dir: str,
@@ -85,6 +116,7 @@ def run_pipeline(
     """
     cfg = cfg or CodecConfig()
     data_dir = f"{out_dir}/routed"
+    cpp = _combos_per_partition(sf_dir, transcripts_path)
     manifest = CheckpointManifest(f"{out_dir}/manifest")
     done = manifest.completed()
     todo = [b for b in range(n_buckets) if b not in done]
@@ -144,7 +176,8 @@ def run_pipeline(
                          + sink_pos)
             (
                 probe_repartition(wave_df, n, group_idx,
-                                  len(wave) * len(cfg.sinks))
+                                  len(wave) * len(cfg.sinks),
+                                  combos_per_partition=cpp)
                 .write.mode("append").partitionBy("_bucket", "sink")
                 .parquet(data_dir)
             )
@@ -162,13 +195,24 @@ def run_pipeline(
         if len(waves) > 1:
             routed_all.unpersist()
 
-    # final aggregates over the routed store (reads back only needed columns)
+    # final aggregates over the routed store (reads back only needed
+    # columns). The two aggregate writes are independent jobs — submit them
+    # from two driver threads so the second back-fills the first's task
+    # tail instead of waiting for it (guide §2.6; actions are sequential
+    # only because driver code calls them sequentially).
     routed = spark.read.parquet(data_dir)
     good = routed.filter(F.col("sink") != DEAD_LETTER_SINK)
-    agg.conv_stats_salted(good, cfg).write.mode("overwrite").parquet(
-        f"{out_dir}/conv_stats"
-    )
-    agg.hourly_stats(good).write.mode("overwrite").parquet(f"{out_dir}/hourly_stats")
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = [
+        lambda: agg.conv_stats_salted(good, cfg).write.mode("overwrite")
+        .parquet(f"{out_dir}/conv_stats"),
+        lambda: agg.hourly_stats(good).write.mode("overwrite")
+        .parquet(f"{out_dir}/hourly_stats"),
+    ]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(j) for j in jobs]:
+            f.result()
 
     metrics = manifest.completed()
     total = sum(m["rows"] for m in metrics.values())

@@ -2692,43 +2692,16 @@ def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FRONT: list[str] = [
-    # r7 rotation (round-6 verdict item 5): the window is the complement of
-    # r6's 50 — first the never-driver-checked round-7 queries plus
-    # ivf_seed_scalable (whose r6 row was err=no_oracle: round 7 gives it
-    # its first REAL oracle check), then the 31 r6-_TAIL names whose last
-    # green row is r5 (out for exactly one round, per the rotation policy),
-    # then 16 r6-green queries re-checked because round-7 code changes
-    # touch the decode paths under them (int32 enum truncation +
-    # decimal-string unknown-code passthrough in py_decode/vector/jvm,
-    # recursive WireDecodeRow, map-entry descriptor synthesis).
-    "ivf_seed_scalable", "pb_wire_map_entries_jvmdyn",
-    "pb_wire_repeated_message_jvmdyn", "pb_wire_float_double_vec",
-    # last green in r5 (r6's _TAIL, returning per the rotation policy)
-    "ivf_topk", "ivf_seed_farthest", "dedup_exact", "dedup_clusters_star",
-    "parse_good", "dead_letter", "enum_symbolize",
-    "pb2_enum_passthrough", "oneof_xor", "enrich_turns", "route_counts",
-    "conv_stats", "hourly_stats", "turn_order", "conv_first_last",
-    "encode_roundtrip", "encode_autoconvert", "stream_sessionize",
-    "encode_strict_discard", "ivf_assign", "ivf_refine_assign",
-    "ann_cosine_topk", "ann_lsh_topk", "embedding_neardup", "pb_wire_rum",
-    "pb_wire_struct", "pb_wire_uint64_bytes", "pb_wire_float_double",
-    "pb_wire_nested_repeated", "pb_wire_repeated_message",
-    "pb_wire_directory",
-    # r6-green, re-checked: round-7 touched the code under them
-    "pb_wire_decode", "pb_wire_roundtrip", "pb_wire_encode",
-    "pb_wire_decode_jvmdyn", "pb_wire_dead_letter", "pb_schema_file_decode",
-    "pb_schema_multifile_decode", "pb2_wire_roundtrip", "pb2_wire_lineage",
-    "pb2_wire_repeated_enum", "stream_wire_counts", "pb_wire_map_entries",
-    "oneof_metainfo_off", "oneof_three_option", "oneof_array_elements",
-    # (json_struct_decode was the 16th re-check candidate; it rotated to
-    # _TAIL — untouched by r7 and r6-green — to make room for the new
-    # pb_wire_float_double_vec registration inside the 50-entry window)
-]
-
-_TAIL: list[str] = [
-    # green in CORRECTNESS_r06.json and untouched by round-7 code changes —
-    # that fresh green row is the evidence that earns rotation past the
-    # 50-entry window this round
+    # r8 rotation (round-7 verdict item 6): the window is the complement of
+    # r7's 50 — first the 34 r7-_TAIL names whose last driver-green row is
+    # r6 (out for exactly one round, per the rotation policy; all 84 were
+    # also green in the builder's r7 full-registry sweep), then 16 r7-green
+    # queries re-checked because round-8 OPTIMIZATION changes touch the
+    # code under them: the split-based native parse (parse.py) under the
+    # parse/encode/route/aggregate tier, the fused fingerprint kernels +
+    # packed shingles + single-probe contraction rounds (dedup.py) under
+    # dedup_clusters_star, and the numpy bucket/nrm kernels + bucket-block
+    # pair scorer (similarity.py) under the ANN tier.
     "audio_decode_real", "image_decode_real", "image_resize_real",
     "minhash_oversize_buckets", "tpch_q5_local_supply", "multimodal_frames",
     "multimodal_resize", "role_cents_quantiles", "role_tool_setops",
@@ -2740,6 +2713,33 @@ _TAIL: list[str] = [
     "ngram_jaccard_pairs", "dedup_clusters", "dedup_survivors",
     "minhash_pairs_star", "minhash_bands", "simhash", "simhash_weighted",
     "json_variant_nested", "json_struct_decode",
+    # r7-green, re-checked: round-8 optimization touched the code paths
+    # under them (16 slots; every remaining r7-green query is also covered
+    # by the builder's r8 full-registry sweep, BENCH/sweep_r8_sf0.01.txt)
+    "dedup_clusters_star", "embedding_neardup", "ann_lsh_topk",
+    "ann_cosine_topk", "parse_good", "dead_letter", "enrich_turns",
+    "route_counts", "conv_stats", "hourly_stats", "encode_roundtrip",
+    "encode_autoconvert", "oneof_xor", "enum_symbolize", "conv_first_last",
+    "turn_order",
+]
+
+_TAIL: list[str] = [
+    # green in CORRECTNESS_r07.json and with their code paths unchanged (or
+    # least-changed) by round-8 — that fresh green row is the evidence that
+    # earns rotation past the 50-entry window this round
+    "ivf_seed_scalable", "pb_wire_map_entries_jvmdyn",
+    "pb_wire_repeated_message_jvmdyn", "pb_wire_float_double_vec",
+    "ivf_topk", "ivf_seed_farthest", "dedup_exact", "pb2_enum_passthrough",
+    "stream_sessionize", "encode_strict_discard", "ivf_assign",
+    "ivf_refine_assign", "pb_wire_rum", "pb_wire_struct",
+    "pb_wire_uint64_bytes", "pb_wire_float_double",
+    "pb_wire_nested_repeated", "pb_wire_repeated_message",
+    "pb_wire_directory", "pb_wire_decode", "pb_wire_roundtrip",
+    "pb_wire_encode", "pb_wire_decode_jvmdyn", "pb_wire_dead_letter",
+    "pb_schema_file_decode", "pb_schema_multifile_decode",
+    "pb2_wire_roundtrip", "pb2_wire_lineage", "pb2_wire_repeated_enum",
+    "stream_wire_counts", "pb_wire_map_entries", "oneof_metainfo_off",
+    "oneof_three_option", "oneof_array_elements",
 ]
 
 

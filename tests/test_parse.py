@@ -59,3 +59,43 @@ def test_parse_is_narrow_no_shuffle(spark):
     )
     plan = parse_turns(tr, impl="native")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_native_parse_split_path_matches_pure_regex_reference(spark):
+    """Round-8: the split-based native parse must equal the old 11-pass
+    regexp_extract formulation byte-for-byte on every edge shape — empty
+    fields, '|' and '=' inside msg, trailing newline (the '$'-before-final-
+    terminator regex subtlety), unicode, corrupt rows."""
+    from pyspark.sql import Column, functions as F
+    from logstash_codec_protobuf_spark.operators.parse import (
+        PAYLOAD_REGEX, _GROUPS, _PARSE_ERROR, _native_parse_col)
+
+    def reference(text: Column) -> Column:
+        def grp(i, typ):
+            c = F.regexp_extract(text, PAYLOAD_REGEX, i)
+            return c if typ == "string" else c.cast(typ)
+        good = F.struct(
+            *[grp(i + 1, t).alias(n) for i, (n, t) in enumerate(_GROUPS)],
+            F.lit(None).cast("string").alias("error"))
+        bad = F.struct(
+            *[F.lit(None).cast(t).alias(n) for n, t in _GROUPS],
+            F.lit(_PARSE_ERROR).alias("error"))
+        return F.when(text.rlike(PAYLOAD_REGEX), good).otherwise(bad)
+
+    payloads = [
+        "PB3|conv=c1|turn=3|role=user|tool=sql|colour=2|cents=-45|oneof=unicorn|horn=1|wings=0|msg=m17",
+        "PB3|conv=|turn=0|role=|tool=|colour=0|cents=0|oneof=pegasus|horn=0|wings=0|msg=",
+        "PB3|conv=c|turn=1|role=r|tool=t|colour=1|cents=1|oneof=x|horn=1|wings=1|msg=a|b=c|msg=again",
+        "PB3|conv=c|turn=1|role=r|tool=t|colour=1|cents=1|oneof=x|horn=1|wings=1|msg=tail\n",
+        "PB3|conv=c|turn=1|role=r|tool=t|colour=1|cents=1|oneof=x|horn=1|wings=1|msg=Ünïcödé 😀",
+        "PB3|conv=c|turn=1|role=r|tool=t|colour=1|cents=1|oneof=x|horn=1|wings=1|msg==eq",
+        "PB3|conv=c|turn=12|role=r|tool=t|colour=1|cents=1|oneof=X|horn=1|wings=1|msg=bad-oneof-case",
+        "CORRUPT|123",
+        "PB3|conv=c|turn=x|role=r|tool=t|colour=1|cents=1|oneof=x|horn=1|wings=1|msg=baddigits",
+        "",
+        "PB3|conv=c|turn=1|role=r|tool=t|colour=1|cents=1|oneof=x|horn=1|wings=1",
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "text string")
+    got = df.select(_native_parse_col(F.col("text")).alias("p")).collect()
+    ref = df.select(reference(F.col("text")).alias("p")).collect()
+    assert [r["p"].asDict() for r in got] == [r["p"].asDict() for r in ref]

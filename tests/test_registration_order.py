@@ -5,58 +5,63 @@ The driver's CORRECTNESS report covers exactly the first 50 names returned by
 explicit in ``queries._FRONT`` / ``queries._TAIL`` (round-3 verdict item 1;
 rotated each round so every query lands in some round's window).
 
-Round-7 rotation (round-6 verdict item 5): the window is the COMPLEMENT of
-r6's 50 — the round-7 queries (never driver-checked) plus ivf_seed_scalable
-(r6 row was err=no_oracle; its new exact oracle gets its first driver check),
-the 31 queries whose last green row is r5 (out for exactly one round), and
-16 r6-green queries whose decode paths round-7 code changes touch (enum
-int32 truncation + decimal-string passthrough, recursive WireDecodeRow,
-map-entry descriptor synthesis).
+Round-8 rotation (round-7 verdict item 6): the window is the COMPLEMENT of
+r7's 50 — the 34 r7-_TAIL names whose last driver-green row is r6 (out for
+exactly one round under the rotation policy), plus 16 r7-green queries whose
+code paths the round-8 optimization changes touch (split-based native parse;
+fused fingerprint kernels, packed shingles and single-probe contraction in
+dedup.py; numpy bucket/nrm kernels and the bucket-block pair scorer in
+similarity.py).
 """
 
 from logstash_codec_protobuf_spark import queries as Q
 
-# Never driver-checked (new in round 7) or never ORACLE-checked
-# (ivf_seed_scalable's only r6 row was err=no_oracle — round 7 is its first
-# real rows+schema+hash check).
-R7_NEW = ["ivf_seed_scalable", "pb_wire_map_entries_jvmdyn",
-          "pb_wire_repeated_message_jvmdyn", "pb_wire_float_double_vec"]
-
-# Last green row is CORRECTNESS_r05.json — these sat out r6's window under
-# the rotation policy (they were r6's _TAIL) and must return in r7.
-R5_ONLY = [
-    "ivf_topk", "ivf_seed_farthest", "dedup_exact", "dedup_clusters_star",
-    "parse_good", "dead_letter", "enum_symbolize",
-    "pb2_enum_passthrough", "oneof_xor", "enrich_turns", "route_counts",
-    "conv_stats", "hourly_stats", "turn_order", "conv_first_last",
-    "encode_roundtrip", "encode_autoconvert", "stream_sessionize",
-    "encode_strict_discard", "ivf_assign", "ivf_refine_assign",
-    "ann_cosine_topk", "ann_lsh_topk", "embedding_neardup", "pb_wire_rum",
-    "pb_wire_struct", "pb_wire_uint64_bytes", "pb_wire_float_double",
-    "pb_wire_nested_repeated", "pb_wire_repeated_message",
-    "pb_wire_directory",
+# Last green driver row is CORRECTNESS_r06.json — these sat out r7's window
+# under the rotation policy (they were r7's _TAIL) and must return in r8.
+R6_ONLY = [
+    "audio_decode_real", "image_decode_real", "image_resize_real",
+    "minhash_oversize_buckets", "tpch_q5_local_supply", "multimodal_frames",
+    "multimodal_resize", "role_cents_quantiles", "role_tool_setops",
+    "tpch_q3_shipping", "tpch_q7_volume", "multimodal_features",
+    "session_stats", "role_sink_matrix", "conv_tool_diversity",
+    "nested_json_decode", "tpch_q1_pricing", "tpch_join_topn",
+    "stream_hourly_counts", "text_stats", "lang_id", "doc_fingerprint",
+    "stream_dedup", "minhash_pairs", "simhash_neardup",
+    "ngram_jaccard_pairs", "dedup_clusters", "dedup_survivors",
+    "minhash_pairs_star", "minhash_bands", "simhash", "simhash_weighted",
+    "json_variant_nested", "json_struct_decode",
 ]
 
-# Frozen from CORRECTNESS_r06.json at round-7 start: every query with a green
-# r6 driver row. _TAIL must draw only from this set — a fresh green row is
+# r7-green queries whose code round-8 touches — the re-check slots.
+R8_TOUCHED = [
+    "dedup_clusters_star", "embedding_neardup", "ann_lsh_topk",
+    "ann_cosine_topk", "parse_good", "dead_letter", "enrich_turns",
+    "route_counts", "conv_stats", "hourly_stats", "encode_roundtrip",
+    "encode_autoconvert", "oneof_xor", "enum_symbolize", "conv_first_last",
+    "turn_order",
+]
+
+# Frozen from CORRECTNESS_r07.json at round-8 start: every query with a green
+# r7 driver row. _TAIL must draw only from this set — a fresh green row is
 # what earns rotation past the window.
-R6_GREEN = {
-    "pb_wire_decode_jvmdyn", "audio_decode_real", "image_decode_real",
-    "image_resize_real", "minhash_oversize_buckets", "tpch_q5_local_supply",
-    "multimodal_frames", "multimodal_resize", "role_cents_quantiles",
-    "role_tool_setops", "tpch_q3_shipping", "tpch_q7_volume",
-    "multimodal_features", "session_stats", "role_sink_matrix",
-    "conv_tool_diversity", "nested_json_decode", "tpch_q1_pricing",
-    "tpch_join_topn", "stream_hourly_counts", "oneof_metainfo_off",
-    "pb2_wire_repeated_enum", "pb_schema_multifile_decode",
-    "oneof_three_option", "oneof_array_elements", "json_struct_decode",
-    "json_variant_nested", "text_stats", "lang_id", "doc_fingerprint",
-    "stream_dedup", "pb_wire_decode", "pb_wire_roundtrip", "pb_wire_encode",
-    "pb_wire_dead_letter", "pb_schema_file_decode", "pb2_wire_roundtrip",
-    "pb2_wire_lineage", "stream_wire_counts", "pb_wire_map_entries",
-    "minhash_pairs", "simhash_neardup", "ngram_jaccard_pairs",
-    "dedup_clusters", "dedup_survivors", "minhash_pairs_star",
-    "minhash_bands", "simhash", "simhash_weighted",
+R7_GREEN = {
+    "ivf_seed_scalable", "pb_wire_map_entries_jvmdyn",
+    "pb_wire_repeated_message_jvmdyn", "pb_wire_float_double_vec",
+    "ivf_topk", "ivf_seed_farthest", "dedup_exact", "dedup_clusters_star",
+    "parse_good", "dead_letter", "enum_symbolize", "pb2_enum_passthrough",
+    "oneof_xor", "enrich_turns", "route_counts", "conv_stats",
+    "hourly_stats", "turn_order", "conv_first_last", "encode_roundtrip",
+    "encode_autoconvert", "stream_sessionize", "encode_strict_discard",
+    "ivf_assign", "ivf_refine_assign", "ann_cosine_topk", "ann_lsh_topk",
+    "embedding_neardup", "pb_wire_rum", "pb_wire_struct",
+    "pb_wire_uint64_bytes", "pb_wire_float_double",
+    "pb_wire_nested_repeated", "pb_wire_repeated_message",
+    "pb_wire_directory", "pb_wire_decode", "pb_wire_roundtrip",
+    "pb_wire_encode", "pb_wire_decode_jvmdyn", "pb_wire_dead_letter",
+    "pb_schema_file_decode", "pb_schema_multifile_decode",
+    "pb2_wire_roundtrip", "pb2_wire_lineage", "pb2_wire_repeated_enum",
+    "stream_wire_counts", "pb_wire_map_entries", "oneof_metainfo_off",
+    "oneof_three_option", "oneof_array_elements",
 }
 
 
@@ -76,15 +81,15 @@ def test_window_is_exactly_front():
     assert len(Q._FRONT) == 50
 
 
-def test_new_queries_lead_the_window():
-    assert Q._FRONT[: len(R7_NEW)] == R7_NEW
+def test_r6_only_queries_lead_the_window():
+    """The rotation promise: queries whose last green driver row is two
+    rounds old must come back into the window, ahead of the re-checks."""
+    assert Q._FRONT[: len(R6_ONLY)] == R6_ONLY
 
 
-def test_r5_only_queries_inside_driver_window():
-    """The rotation promise: queries whose last green row is two rounds old
-    must come back into the window."""
+def test_r8_touched_queries_inside_driver_window():
     window = list(Q.all_queries())[:50]
-    missing = [n for n in R5_ONLY if n not in window]
+    missing = [n for n in R8_TOUCHED if n not in window]
     assert not missing, f"outside the driver's 50-entry window: {missing}"
 
 
@@ -101,8 +106,8 @@ def test_every_query_has_an_oracle_and_order_matches():
     assert not no_oracle, no_oracle
 
 
-def test_tail_rotation_is_only_r6_green():
-    assert set(Q._TAIL) <= R6_GREEN, sorted(set(Q._TAIL) - R6_GREEN)
+def test_tail_rotation_is_only_r7_green():
+    assert set(Q._TAIL) <= R7_GREEN, sorted(set(Q._TAIL) - R7_GREEN)
 
 
 def test_every_query_is_front_or_tail():
