@@ -172,6 +172,13 @@ def sessionize_segmented(df: DataFrame, gap_minutes: int = 30,
         "_run",
         F.sum("_flag").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    # NOTE(r8): the offsets branch below re-derives this subtree (Catalyst
+    # does not share it across the join's two sides — the plan shows the
+    # scan+window chain twice). A persist barrier was A/B'd and LOST at
+    # bench scale (0.93s vs 0.73s min-of-5 interleaved): materializing the
+    # full windowed frame costs more than recomputing a cheap narrow
+    # window. At a scale where the recompute dominates, cache.track(d)
+    # here is the one-line fix.
     segs = d.groupBy("conv_id", "_seg").agg(
         F.min_by("_us", "turn_idx").alias("_head_us"),
         F.max_by("_us", "turn_idx").alias("_tail_us"),

@@ -148,9 +148,9 @@ def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
     mapInPandas partial top-k before the per-query window, so the window's
     q-key shuffle — which would otherwise funnel q*n rows into q tasks —
     ranks a few thousand survivors regardless of corpus size."""
-    h = _spread(emb.select("vec_id", "embedding")).select(
-        "vec_id", "embedding",
-        _bucket_nrm_udf(0)(F.col("embedding"))["nrm"].alias("nrm"))
+    d = SPARK
+    nrm = F.expr(f"sqrt({d.dot('embedding', 'embedding')})")
+    h = emb.withColumn("nrm", nrm)
     q = h.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
         F.col("nrm").alias("q_nrm"),
@@ -336,12 +336,17 @@ def lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
     a partition-pruned scan; here it is a co-partitioned equi-join on bucket.
     Per-query cost: (1 + n_planes)/2^n_planes of the corpus instead of 100%.
     """
+    # SQL-expr bucket/nrm here, NOT the numpy kernel: at the probe join's
+    # scale (a handful of query rows x one bucket each) the corpus hashing
+    # is a single cheap pass, and an interleaved A/B measured the kernel's
+    # extra exchange + Arrow hop as a net loss (0.56s -> 0.96s, r8) —
+    # neardup_pairs keeps the kernel because every corpus vector there
+    # feeds 1+n_planes probe rows and a bucket-block scorer.
+    d = SPARK
+    bucket = F.expr(lsh_bucket_expr("embedding", n_planes))
+    nrm = F.expr(f"sqrt({d.dot('embedding', 'embedding')})")
     hashed = cache.track(
-        _spread(emb.select("vec_id", "embedding")).select(
-            "vec_id", "embedding",
-            _bucket_nrm_udf(n_planes)(F.col("embedding")).alias("_bn"))
-        .select("vec_id", "embedding", F.col("_bn.bucket").alias("bucket"),
-                F.col("_bn.nrm").alias("nrm"))
+        emb.withColumn("bucket", bucket).withColumn("nrm", nrm)
     )
     q = hashed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
