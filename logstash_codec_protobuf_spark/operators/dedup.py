@@ -270,11 +270,6 @@ def _shingles_packed_udf(k: int):
     return shingles
 
 
-def _hash_basis(docs: DataFrame) -> DataFrame:
-    """(doc_id, _hb): the shingle-hash array, computed exactly once per doc."""
-    return docs.select("doc_id", _shingle_hashes_udf(F.col("text")).alias("_hb"))
-
-
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition a NARROW source up to the session's default
     parallelism before a per-row Arrow kernel — scale-adaptive (guide §2.2):
