@@ -921,3 +921,65 @@ def test_packed_shingles_bijective_vs_string_kernel(spark):
             if p1 is None or p2 is None:
                 continue
             assert len(set(p1) & set(p2)) == len(set(s1) & set(s2)), (i, j)
+
+
+def test_neardup_bucket_block_chunking_is_boundary_exact(spark):
+    """Round-8: neardup's bucket-block scorer chunks the probe side to
+    bound task memory (<=4M score cells). At bench SF the chunk loop never
+    splits, so force a corpus big enough that it must (one dominant bucket,
+    probe side >> chunk step) and pin results against the un-chunked plan:
+    same pairs, same scores."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    n = 1200  # one-bucket-heavy corpus: probe side ~6000 rows in bucket 15
+    rows = []
+    rng_state = 12345
+    for i in range(n):
+        # deterministic LCG jitter around a fixed positive direction so
+        # almost everything lands in the all-ones bucket
+        vec = []
+        for d in range(64):
+            rng_state = (1103515245 * rng_state + 12345) % (1 << 31)
+            vec.append(1.0 + ((rng_state % 1000) - 500) / 5000.0)
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["a_id"], r["b_id"]): r["score"]
+           for r in SIM.neardup_pairs(emb, threshold=0.99).collect()}
+    # un-chunked reference: same index-order fold over the whole block
+    pdf = emb.toPandas()
+    bucket_expr = SIM.lsh_bucket_expr("embedding", SIM.NEARDUP_PLANES)
+    b = {r["vec_id"]: r["bkt"] for r in emb.select(
+        "vec_id", F.expr(bucket_expr).alias("bkt")).collect()}
+    V = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+         for r in pdf.itertuples()}
+    def nrm(v):
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        return acc ** 0.5
+    nrms = {k: nrm(v) for k, v in V.items()}
+    ref = {}
+    ids = sorted(V)
+    probes = {k: {b[k]} | {b[k] ^ (1 << p) for p in range(SIM.NEARDUP_PLANES)}
+              for k in ids}
+    for a in ids:
+        for bb in ids:
+            if a < bb and b[bb] in probes[a]:
+                acc = 0.0
+                for i in range(64):
+                    acc = acc + V[a][i] * V[bb][i]
+                den = nrms[a] * nrms[bb]
+                if den == 0.0:
+                    continue
+                import math
+                s = math.floor(acc / den * 1000000.0) / 1000000.0
+                if s >= 0.99:
+                    ref[(a, bb)] = s
+    assert got == ref
+    # the corpus really exercised chunking: dominant bucket's probe side
+    # exceeds the 4M-cell step for its corpus side
+    from collections import Counter
+    sizes = Counter(b.values())
+    big = sizes.most_common(1)[0][1]
+    assert big * 5 > (1 << 22) // big
