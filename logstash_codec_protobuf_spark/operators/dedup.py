@@ -505,10 +505,14 @@ def minhash_star_edges(docs: DataFrame) -> DataFrame:
     banding input to |distinct contents|; no bucket cap is needed on this
     path (output is linear in bucket size by construction)."""
     h = docs.select("doc_id", F.md5("text").alias("_h"), "text")
-    reps = h.groupBy("_h").agg(F.min("doc_id").alias("rep"))
-    # persisted: both consumers below (exact edges, rep banding) would
-    # otherwise re-derive the full-corpus md5 scan + content-group join
-    withrep = cache.track(h.join(reps, "_h"))
+    # representative = min doc_id over the content group, as an unordered
+    # window aggregate (round-8): the old groupBy + equi-join re-keyed the
+    # corpus on _h twice (agg + join); the window pays exactly ONE exchange
+    # on _h — and at a scale where the rep table outgrows a broadcast, the
+    # join would shuffle the corpus on _h anyway PLUS aggregate and join.
+    # Skew exposure is identical (both shapes co-locate each content group).
+    withrep = cache.track(h.withColumn(
+        "rep", F.min("doc_id").over(Window.partitionBy("_h"))))
     exact_edges = (
         withrep.filter(F.col("doc_id") != F.col("rep"))
         .select(F.col("rep").alias("a_id"), F.col("doc_id").alias("b_id"))
